@@ -1,0 +1,202 @@
+"""Lloyd's k-means as a declarative DataFrame loop — reference-exact semantics.
+
+This is the fidelity layer: it reproduces the *intended* semantics of the
+reference MapReduce job (LucaArduini/k-means_in_MapReduce,
+``kmeans/src/main/java/it/unipi/hadoop/KMeans.java``) using only built-in
+Catalyst expressions and ``groupBy().agg()``:
+
+- random-k-rows init, seeded (reference C1, ``KMeans.java:276-312`` — the
+  reference's ``Random`` is unseeded; we take an explicit seed so runs are
+  deterministic and testable)
+- per-row nearest-centroid assignment with lowest-index tie-break
+  (``Point.java:57-71``)
+- per-cluster (sum, count) clustering feature -> mean
+  (``ClusteringFeature.java:8-70``). Spark's HashAggregate partial mode IS
+  the reference's in-mapper combiner (``KMeans.java:33-67``): partial
+  (sum,count) per task, shuffle O(tasks·k·d), final merge — no hand-rolling.
+- convergence when Σ_i ‖c_i_old − c_i_new‖₂ < epsilon (sum over clusters of
+  L2 movement — reference C3, ``KMeans.java:206-213``)
+- empty-cluster policy: discard ALL centroids and re-sample k fresh ones
+  (reference C4, ``KMeans.java:167-171``)
+
+Scale design (100 TB, 1000 executors):
+- the input is cached once and re-scanned per iteration (the canonical
+  Spark-vs-MapReduce win; the reference re-reads HDFS every iteration,
+  ``KMeans.java:147``). On a real cluster use ``StorageLevel.MEMORY_AND_DISK``
+  (default for ``DataFrame.cache``) so partitions spill instead of OOM.
+- centroids travel as a k×d plan literal (broadcast with the task binary),
+  and come back as exactly k rows through ``collect()`` — driver state is
+  O(k·d), never O(n) (the reference's init reads the whole dataset into the
+  driver, ``KMeans.java:292-298``; we use distributed ``takeSample``).
+- per-iteration shuffle volume is O(shuffle_partitions · k · d) doubles,
+  independent of n — same asymptotics as the reference's in-mapper combiner
+  but with Tungsten codegen row processing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import nearest_centroid
+
+
+@dataclass
+class KMeansConfig:
+    """Engine analogue of the reference's 7 positional CLI args
+    (``KMeans.java:96-109``): input/output paths become DataFrames, ``dim``
+    is inferred from the data, ``num_reducer`` becomes
+    ``spark.sql.shuffle.partitions`` / AQE."""
+
+    k: int
+    max_iter: int = 20
+    tol: float = 1e-4  # epsilon: stop when Σ‖Δc‖₂ < tol
+    seed: int = 42
+    features_col: str = "embedding"
+
+
+@dataclass
+class KMeansModel:
+    centroids: list[list[float]]  # k×d, index == cluster_id
+    n_iter: int
+    converged: bool
+    movement_history: list[float] = field(default_factory=list)
+    reinit_count: int = 0  # empty-cluster full re-inits (reference C4)
+
+    def assign(self, df: DataFrame, features_col: str = "embedding",
+               output_col: str = "cluster_id") -> DataFrame:
+        return assign_clusters(df, self.centroids, features_col, output_col)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    features_col: str = "embedding",
+    output_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (reference J1/T1/F1) as a narrow map —
+    no shuffle, whole-stage-codegen'd."""
+    return df.withColumn(output_col, nearest_centroid(features_col, centroids))
+
+
+def cluster_features(
+    assigned: DataFrame,
+    dim: int,
+    features_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Per-cluster ClusteringFeature -> (cluster_id, num_points, centroid).
+
+    One hash-aggregate pair (partial -> exchange -> final); the mean is
+    sum/count per dimension exactly as ``ClusteringFeature.computeMean``
+    (``ClusteringFeature.java:60-70``). Empty clusters simply produce no
+    row (no ``Double.MAX_VALUE`` sentinel — detected by the caller as a
+    missing cluster_id, reference A7).
+    """
+    avgs = [
+        F.avg(F.col(features_col).getItem(i)).alias(f"_c{i}") for i in range(dim)
+    ]
+    agg = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("num_points"), *avgs
+    )
+    return agg.select(
+        cluster_col,
+        "num_points",
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def sample_initial_centroids(
+    df: DataFrame, k: int, seed: int, features_col: str = "embedding"
+) -> list[list[float]]:
+    """Seeded distributed sample of k rows as initial centroids
+    (reference C1 without the O(n) driver read)."""
+    rows = df.select(features_col).rdd.takeSample(False, k, seed)
+    if len(rows) < k:
+        raise ValueError(f"dataset has fewer than k={k} rows")
+    return [list(r[0]) for r in rows]
+
+
+def _movement(old: list[list[float]], new: list[list[float]]) -> float:
+    """Σ over clusters of per-centroid L2 movement (reference C3 exactly:
+    sum, not max, not squared — ``KMeans.java:206-213``)."""
+    total = 0.0
+    for a, b in zip(old, new):
+        total += sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5
+    return total
+
+
+def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
+    """Iterate-until-converged driver loop (reference C2-C5).
+
+    ``max_iter`` counts actual iterations (the reference's
+    ``while (iter < MAX_ITER)`` with ``iter=1`` runs at most MAX_ITER-1
+    jobs, ``KMeans.java:113,130`` — a documented off-by-one we do NOT
+    reproduce).
+    """
+    points = df.select(F.col(config.features_col).alias("features"))
+    first = points.first()
+    if first is None:
+        raise ValueError("empty dataset")
+    dim = len(first[0])
+
+    points = points.cache()
+    points.count()  # materialize the cache before iterating
+
+    centroids = sample_initial_centroids(points, config.k, config.seed, "features")
+    history: list[float] = []
+    reinits = 0
+    converged = False
+    n_iter = 0
+
+    try:
+        for it in range(1, config.max_iter + 1):
+            n_iter = it
+            assigned = assign_clusters(points, centroids, "features")
+            rows = cluster_features(assigned, dim, "features").collect()
+
+            by_id = {r["cluster_id"]: r for r in rows}
+            if len(by_id) < config.k:
+                # empty cluster -> discard all, re-sample fresh k (C4);
+                # new seed per event keeps the run deterministic.
+                reinits += 1
+                centroids = sample_initial_centroids(
+                    points, config.k, config.seed + 1000 * reinits, "features"
+                )
+                continue
+            # centroid index integrity (reference C5, KMeans.java:252-257)
+            assert sorted(by_id) == list(range(config.k)), sorted(by_id)
+
+            new_centroids = [list(by_id[i]["centroid"]) for i in range(config.k)]
+            move = _movement(centroids, new_centroids)
+            history.append(move)
+            centroids = new_centroids
+            if move < config.tol:
+                converged = True
+                break
+    finally:
+        points.unpersist()
+
+    return KMeansModel(
+        centroids=centroids,
+        n_iter=n_iter,
+        converged=converged,
+        movement_history=history,
+        reinit_count=reinits,
+    )
+
+
+def wcss(df: DataFrame, centroids: list[list[float]], features_col: str = "embedding") -> float:
+    """Within-cluster sum of squared distances (the reference's 'error';
+    used by the Lloyd-monotonicity invariant test, SURVEY §5.2.3a)."""
+    from ..functions.vector import distance_vector
+
+    return (
+        df.select(
+            F.array_min(distance_vector(features_col, centroids)).alias("d2")
+        )
+        .agg(F.sum("d2").alias("wcss"))
+        .first()["wcss"]
+    )

@@ -1,0 +1,174 @@
+"""Query registry — the single source for ``__spark_entry__``.
+
+Every implemented operator from SURVEY.md §2 registers here as:
+- a callable ``(spark, sf_dir) -> DataFrame`` in :data:`QUERIES`
+- where SQL-expressible, a DuckDB-compatible oracle in :data:`ORACLES`
+  (the driver compares row count + schema + order-insensitive value hash
+  at sf0.01).
+
+Column-name contract: every computed column is aliased identically in the
+Spark query and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import kmeans_df as K
+from .sources import load_table
+from .sources.text_points import format_points, parse_points_df
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Core k-means surface (reference semantics; SURVEY §2.1-2.7, §2.11)
+# --------------------------------------------------------------------------
+# Fixed-centroid fixtures (FIXTURES.md §3): the RNG-free, oracle-checkable
+# form of assignment + aggregation. Centroids are the embeddings of
+# vec_id < K_FIXED — derivable identically in Spark and SQL.
+
+K_FIXED = 10
+DIM = 64  # embeddings arity in all testdata sf dirs
+
+
+def _fixed_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < K_FIXED)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [list(r[0]) for r in rows]
+
+
+# Shared oracle CTE: nearest-centroid assignment (reference J1/T1/F1 —
+# Point.java:57-71 argmin with lowest-index tie-break, enforced by the
+# ORDER BY d2, cluster_id in row_number()).
+_ASSIGN_CTE = f"""
+cents AS (
+    SELECT vec_id AS cluster_id, embedding FROM embeddings WHERE vec_id < {K_FIXED}
+),
+dist AS (
+    SELECT e.vec_id, c.cluster_id,
+           sum((CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.embedding[t.i] AS DOUBLE))
+               * (CAST(e.embedding[t.i] AS DOUBLE) - CAST(c.embedding[t.i] AS DOUBLE))) AS d2
+    FROM embeddings e
+    CROSS JOIN cents c
+    CROSS JOIN range(1, {DIM + 1}) t(i)
+    GROUP BY e.vec_id, c.cluster_id
+),
+assign AS (
+    SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id
+    FROM (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+        FROM dist
+    ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "kmeans_assign",
+    f"WITH {_ASSIGN_CTE} SELECT vec_id, cluster_id FROM assign",
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row nearest-centroid assignment with fixed centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return K.assign_clusters(emb, cents).select("vec_id", "cluster_id")
+
+
+@query(
+    "kmeans_cluster_sizes",
+    f"""WITH {_ASSIGN_CTE}
+    SELECT cluster_id, count(*) AS num_points FROM assign GROUP BY cluster_id""",
+)
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster COUNT (reference A3/A6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return (
+        K.assign_clusters(emb, cents)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("num_points"))
+    )
+
+
+@query(
+    "kmeans_cf_means",
+    f"""WITH {_ASSIGN_CTE}
+    SELECT a.cluster_id, CAST(t.i - 1 AS INT) AS dim,
+           avg(CAST(e.embedding[t.i] AS DOUBLE)) AS mean_val
+    FROM assign a
+    JOIN embeddings e USING (vec_id)
+    CROSS JOIN range(1, {DIM + 1}) t(i)
+    GROUP BY a.cluster_id, dim""",
+)
+def kmeans_cf_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster per-dimension mean — the ClusteringFeature finalize
+    (reference A1-A5, ClusteringFeature.java:60-70) in long form so the
+    oracle compares scalars."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return (
+        K.assign_clusters(emb, cents)
+        .select("cluster_id", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.avg("v").alias("mean_val"))
+    )
+
+
+@query("kmeans_fit_df")  # iterative — rows-only check (SURVEY §5.2.2 covers it)
+def kmeans_fit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full seeded Lloyd loop, reference-exact semantics; returns the final
+    (cluster_id, num_points, size-weighted centroid norm) summary."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = K.fit(emb, K.KMeansConfig(k=10, max_iter=10, tol=1e-3, seed=42))
+    final = K.assign_clusters(emb, model.centroids).groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("num_points")
+    )
+    return final
+
+
+@query("kmeans_fit_mllib")  # iterative — rows-only check
+def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.kmeans_mllib import fit_mllib, transform_mllib
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    result = fit_mllib(emb, k=10, max_iter=10, seed=42)
+    return (
+        transform_mllib(result, emb)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("num_points"))
+    )
+
+
+@query("points_text_roundtrip")  # string formatting differs per engine — rows-only
+def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference text format fidelity: embedding -> '<a, b>' -> parse ->
+    verify identity (S3/F5). Returns per-row roundtrip status."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    formatted = format_points(emb, "embedding")
+    parsed = parse_points_df(formatted, "point_str")
+    return parsed.select(
+        "vec_id",
+        F.size("features").alias("dim"),
+        (F.col("features") == F.col("embedding")).alias("roundtrip_ok"),
+    )

@@ -1,0 +1,136 @@
+"""Reference-semantics invariants for the k-means surface (SURVEY §5.2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_in_mapreduce_spark.operators import kmeans_df as K
+from k_means_in_mapreduce_spark.operators.kmeans_mllib import fit_mllib, transform_mllib
+from k_means_in_mapreduce_spark.sources import load_table
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF0001, "embeddings").cache()
+
+
+def test_tiebreak_lowest_index(spark):
+    """Point.java:65 strict < : equidistant centroids -> lowest index wins."""
+    df = spark.createDataFrame([([0.0, 0.0],)], "features array<double>")
+    # centroids 1 and 2 are both at distance sqrt(2); centroid 0 farther
+    cents = [[5.0, 5.0], [1.0, 1.0], [-1.0, -1.0]]
+    got = K.assign_clusters(df, cents, "features").first()["cluster_id"]
+    assert got == 1
+    # all equidistant -> 0
+    cents = [[1.0, 1.0], [-1.0, 1.0], [1.0, -1.0]]
+    got = K.assign_clusters(df, cents, "features").first()["cluster_id"]
+    assert got == 0
+
+
+def _numpy_lloyd(X, init, n_iter):
+    """Oracle reimplementation of the reference loop (argmin first-min
+    tie-break == np.argmin; mean update)."""
+    C = np.array(init, dtype=float)
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        C = np.stack([X[a == j].mean(axis=0) for j in range(len(C))])
+    return C, a
+
+
+def test_fit_matches_numpy_lloyd(spark, emb):
+    X = np.array([r[0] for r in emb.select("embedding").collect()])
+    cfg = K.KMeansConfig(k=5, max_iter=4, tol=0.0, seed=7)
+    init = K.sample_initial_centroids(
+        emb.select(F.col("embedding").alias("features")), cfg.k, cfg.seed, "features"
+    )
+    model = K.fit(emb, cfg)
+    assert model.n_iter == 4 and not model.converged and model.reinit_count == 0
+    C, _ = _numpy_lloyd(X, init, 4)
+    np.testing.assert_allclose(np.array(model.centroids), C, rtol=1e-9, atol=1e-12)
+
+
+def test_fit_deterministic(spark, emb):
+    cfg = K.KMeansConfig(k=4, max_iter=3, tol=0.0, seed=123)
+    m1 = K.fit(emb, cfg)
+    m2 = K.fit(emb, cfg)
+    assert m1.centroids == m2.centroids
+    assert m1.movement_history == m2.movement_history
+
+
+def test_wcss_nonincreasing(spark, emb):
+    """Lloyd guarantee (Project Specifications 2023.pdf p.1)."""
+    cfg = K.KMeansConfig(k=5, max_iter=1, tol=0.0, seed=7)
+    init = K.sample_initial_centroids(
+        emb.select(F.col("embedding").alias("features")), cfg.k, cfg.seed, "features"
+    )
+    values = [K.wcss(emb, init)]
+    for n in (1, 2, 3):
+        m = K.fit(emb, K.KMeansConfig(k=5, max_iter=n, tol=0.0, seed=7))
+        values.append(K.wcss(emb, m.centroids))
+    assert all(b <= a + 1e-9 for a, b in zip(values, values[1:])), values
+
+
+def test_centroid_is_mean_of_assigned(spark, emb):
+    """SURVEY §5.2.3b: after an update step, each centroid equals the mean
+    of the points assigned to it under the PREVIOUS centroids."""
+    m = K.fit(emb, K.KMeansConfig(k=4, max_iter=2, tol=0.0, seed=11))
+    prev = K.fit(emb, K.KMeansConfig(k=4, max_iter=1, tol=0.0, seed=11))
+    X = np.array([r[0] for r in emb.select("embedding").collect()])
+    d = ((X[:, None, :] - np.array(prev.centroids)[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    for j in range(4):
+        np.testing.assert_allclose(
+            np.array(m.centroids[j]), X[a == j].mean(axis=0), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_convergence_criterion(spark, emb):
+    """C3: stops iff Σ‖Δc‖₂ < ε; with a huge ε it stops after iteration 1's
+    movement check... movement is computed after the first update, so the
+    earliest converged n_iter is 1."""
+    m = K.fit(emb, K.KMeansConfig(k=3, max_iter=10, tol=1e9, seed=5))
+    assert m.converged and m.n_iter == 1
+    m2 = K.fit(emb, K.KMeansConfig(k=3, max_iter=3, tol=0.0, seed=5))
+    assert not m2.converged and m2.n_iter == 3
+
+
+def test_empty_cluster_reinit(spark):
+    """C4: k > number of distinct points -> some cluster is always empty
+    (tie-break sends all mass to the lower index) -> full re-sample every
+    iteration, loop terminates at max_iter."""
+    rows = [([0.0, 0.0],)] * 10 + [([5.0, 5.0],)] * 10
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    m = K.fit(df, K.KMeansConfig(k=3, max_iter=4, tol=0.0, seed=1))
+    assert m.reinit_count == 4 and not m.converged
+
+
+def test_mllib_path_quality_parity(spark, emb):
+    """MLlib production path vs DF fidelity path: different init/stop rules
+    (documented deltas, kmeans_mllib.py docstring) can land in different
+    local optima on these overlapping blobs, so we assert solution QUALITY
+    parity — each path's WCSS within 25% of the other — plus shape checks."""
+    res = fit_mllib(emb, k=10, max_iter=20, seed=42)
+    assert len(res.centroids) == 10
+    n_clusters = (
+        transform_mllib(res, emb).select("cluster_id").distinct().count()
+    )
+    assert n_clusters == 10
+    m = K.fit(emb, K.KMeansConfig(k=10, max_iter=30, tol=1e-4, seed=2))
+    wcss_df = K.wcss(emb, m.centroids)
+    wcss_ml = res.wcss
+    assert wcss_ml <= wcss_df * 1.25 and wcss_df <= wcss_ml * 1.25, (wcss_ml, wcss_df)
+
+
+def test_text_roundtrip(spark, emb):
+    """S3/F5 fidelity: format -> parse is the identity on doubles."""
+    from k_means_in_mapreduce_spark.sources.text_points import (
+        format_points,
+        parse_points_df,
+    )
+
+    out = parse_points_df(format_points(emb, "embedding"), "point_str")
+    bad = out.filter(~(F.col("features") == F.col("embedding"))).count()
+    assert bad == 0
