@@ -160,7 +160,7 @@ def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("points_text_roundtrip")  # string formatting differs per engine — rows-only
+@query("points_text_roundtrip")  # string formatting is engine-specific — rows-only
 def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference text format fidelity: embedding -> '<a, b>' -> parse ->
     verify identity (S3/F5). Returns per-row roundtrip status."""
@@ -172,3 +172,10 @@ def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("dim"),
         (F.col("features") == F.col("embedding")).alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Extension operator modules register themselves via @query on import.
+# (Import at bottom: they need the decorator defined above.)
+# --------------------------------------------------------------------------
+from .operators import relational  # noqa: E402,F401

@@ -15,6 +15,15 @@ from pyspark.sql import functions as F
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and truncate to µs with
+        # INTEGER division (double division loses precision at 1e18 ns).
+        # DuckDB's parquet scan truncates ns->µs the same way, so the
+        # oracle sees identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))

@@ -1,0 +1,68 @@
+"""Scale-hygiene assertions on physical plans (SURVEY §4.3).
+
+These encode the 100 TB design contract: pushdown + pruning at the scan,
+broadcast for small dims, no redundant shuffles, no Python UDF in hot
+paths (BatchEvalPython absent).
+"""
+
+from k_means_in_mapreduce_spark import registry
+from k_means_in_mapreduce_spark.operators import kmeans_df as K
+from k_means_in_mapreduce_spark.plans import (
+    count_exchanges,
+    explain_string,
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+)
+from k_means_in_mapreduce_spark.sources import load_table
+
+from .conftest import SF001
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF001)
+    filters = " ".join(pushed_filters(df))
+    assert "l_shipdate" in filters, filters
+    schema = read_schemas(df)[0]
+    assert "l_orderkey" not in schema  # column pruning: unused key not read
+    assert "l_partkey" not in schema
+
+
+def test_q1_single_shuffle(spark):
+    """groupBy -> partial agg + ONE exchange + final agg (the reference's
+    in-mapper combiner, automatic)."""
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF001)
+    assert count_exchanges(df) == 1, explain_string(df)
+
+
+def test_q5_broadcasts_dims(spark):
+    df = registry.QUERIES["q5_nation_revenue"](spark, SF001)
+    assert has_broadcast_join(df)
+
+
+def test_kmeans_assign_no_shuffle(spark):
+    """Assignment is a narrow map: centroid literal + per-row argmin.
+    Zero exchanges — at 100 TB this stage is embarrassingly parallel."""
+    emb = load_table(spark, SF001, "embeddings")
+    cents = registry._fixed_centroids(spark, SF001)
+    df = K.assign_clusters(emb, cents)
+    assert count_exchanges(df) == 0, explain_string(df)
+
+
+def test_kmeans_cf_single_shuffle_and_no_python(spark):
+    """Assign + CF agg: exactly one shuffle (k groups), whole pipeline
+    JVM-side (no BatchEvalPython / ArrowEvalPython operators)."""
+    emb = load_table(spark, SF001, "embeddings")
+    cents = registry._fixed_centroids(spark, SF001)
+    df = K.cluster_features(K.assign_clusters(emb, cents), 64)
+    plan = explain_string(df)
+    assert count_exchanges(df) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_python_udf_in_relational_queries(spark):
+    for name, fn in registry.QUERIES.items():
+        if name.startswith(("kmeans_fit",)):
+            continue  # iterative drivers collect(); plan checked above
+        plan = explain_string(fn(spark, SF001))
+        assert "BatchEvalPython" not in plan, name
