@@ -1,0 +1,174 @@
+"""Similarity search over the embedding column (north-star ANN ops).
+
+- ``ann_bruteforce_topk`` [oracle]: exact cosine top-k for a fixed query
+  vector — the correctness baseline. At 100 TB this is a single narrow
+  map + ``ORDER BY LIMIT k`` (Spark plans TakeOrderedAndProject: per-
+  partition top-k then a k-row merge on the driver — no full sort, no
+  full shuffle).
+- ``ann_knn_join_exact`` [oracle]: k-NN for EVERY vector of a query
+  sample via crossJoin + window top-k — the exact baseline for the
+  recall tests.
+- ``ann_lsh_topk`` [rows-only]: random-hyperplane LSH variant — buckets
+  vectors by sign pattern, searches only the query's bucket ring.
+  Approximate by construction; tests/test_similarity.py asserts recall
+  against the exact baseline.
+
+The LSH hyperplanes are generated from a fixed seed with a deterministic
+LCG (no numpy at query-build time keeps the plan literal reproducible
+across processes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot
+from ..registry import query
+from ..sources import load_table
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+LSH_TABLES = 16  # L independent hash tables...
+LSH_PLANES = 4  # ...of k hyperplanes each: P(candidate) = 1-(1-p^k)^L
+DIM = 64
+
+
+def _lcg_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim via a plain
+    LCG (same constants as glibc) — reproducible without numpy."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(2.0 * state / float(1 << 31) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    e = load_table(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    return list(row[0])
+
+
+@query(
+    "ann_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT e.vec_id,
+               sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE))
+                 / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                    * sqrt(sum(CAST(q.embedding[t.i] AS DOUBLE) * CAST(q.embedding[t.i] AS DOUBLE))))
+                 AS cos_sim
+        FROM embeddings e CROSS JOIN q CROSS JOIN range(1, {DIM + 1}) t(i)
+        WHERE e.vec_id != {QUERY_VEC_ID}
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the fixed query vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", qlit).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "ann_knn_join_exact",
+    f"""
+    WITH sample_q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT s.qid, e.vec_id,
+               sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(s.qe[t.i] AS DOUBLE))
+                 / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                    * sqrt(sum(CAST(s.qe[t.i] AS DOUBLE) * CAST(s.qe[t.i] AS DOUBLE))))
+                 AS cos_sim
+        FROM embeddings e CROSS JOIN sample_q s CROSS JOIN range(1, {DIM + 1}) t(i)
+        WHERE e.vec_id != s.qid
+        GROUP BY s.qid, e.vec_id
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cos_sim,
+               row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN for each of 20 sample query vectors: broadcast the query
+    side, score with codegen'd expressions, per-query top-k via window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine_similarity("embedding", "qe").alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "cos_sim", "rk")
+    )
+
+
+def _bucket_expr(features_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-pattern bucket id: bit p set iff dot(features, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(
+            dot(features_col, plane_lit) > 0, F.lit(2 ** p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+@query("ann_lsh_topk")  # approximate — recall-tested vs the exact baseline
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN (classic Indyk-Motwani
+    scheme): L independent tables of k sign bits each; a vector is a
+    candidate if it collides with the query in ANY table; candidates are
+    exactly re-ranked by cosine. The collision test compiles to a single
+    narrow filter (no join, no shuffle); at 100 TB the table buckets
+    become partition keys so each probe reads a bounded slice."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+
+    collide = None
+    for table in range(LSH_TABLES):
+        planes = _lcg_planes(LSH_PLANES, DIM, seed=42 + 97 * table)
+        qbucket = 0
+        for p, plane in enumerate(planes):
+            if sum(a * b for a, b in zip(qv, plane)) > 0:
+                qbucket += 2 ** p
+        this = _bucket_expr("embedding", planes) == F.lit(qbucket)
+        collide = this if collide is None else (collide | this)
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        e.filter(collide & (F.col("vec_id") != QUERY_VEC_ID))
+        .select("vec_id", cosine_similarity("embedding", qlit).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )

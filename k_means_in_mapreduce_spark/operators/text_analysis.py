@@ -1,0 +1,202 @@
+"""Text-analysis operator surface over the ``documents`` table
+(SURVEY §2.12 / north-star LLM-pipeline ops).
+
+Everything here is a narrow per-row projection built from Catalyst string
+and higher-order-array expressions — no shuffle except final aggregations,
+no Python in the row path. At 100 TB these run as pure map stages over the
+parquet scan with column pruning to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_fingerprint, normalized, tokens, word_ngrams
+from ..registry import query
+from ..sources import load_table
+
+# Small shared stopword list (duplicated literally in the oracles).
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           list_aggregate(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), 'avg')
+               AS avg_token_len
+    FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    )
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenization of normalized text)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length(normalized("text")).cast("bigint").alias("n_chars_norm"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+            lambda acc: acc / F.size(toks),
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+    FROM (
+        SELECT doc_id, text,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+        WHERE length(text) > 0
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio,
+    type-token ratio — the standard cheap pretraining-corpus filters."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = tokens("text")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.lower("text"), "[a-z0-9\\s]", "")).cast(
+                "double"
+            )
+            / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(norm) AS doc_md5,
+           CASE WHEN len(toks) >= 5 THEN
+               list_min(list_transform(
+                   [list_aggregate(toks[i:i+4], 'string_agg', ' ') for i in range(1, len(toks) - 3)],
+                   s -> md5(s)))
+           END AS min_shingle_md5
+    FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    )
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc md5 + min-hash-style minimum
+    shingle digest over word 5-grams (md5 on both engines -> identical hex,
+    lexicographic min well-defined)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    shingles = word_ngrams(toks, 5)
+    return d.select(
+        "doc_id",
+        md5_fingerprint("text").alias("doc_md5"),
+        F.when(
+            F.size(toks) >= 5,
+            F.array_min(F.transform(shingles, lambda s: F.md5(s))),
+        ).alias("min_shingle_md5"),
+    )
+
+
+# Per-language marker words for the n-gram/stopword language-ID heuristic.
+# The testdata's documents are synthetic English-ish text with a lang
+# column; the heuristic is still deterministic and oracle-checkable.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "for"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "pour"),
+    "es": ("el", "la", "que", "es", "para"),
+}
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang, words in LANG_MARKERS.items():
+        lst = "(" + ", ".join(f"'{w}'" for w in words) + ")"
+        cols.append(
+            f"CAST(len(list_filter(toks, t -> t IN {lst})) AS DOUBLE)"
+            f" / greatest(len(toks), 1) AS score_{lang}"
+        )
+    return ",\n           ".join(cols)
+
+
+@query(
+    "text_langid",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {_lang_scores_sql()}
+        FROM (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        )
+    )
+    SELECT doc_id, score_en, score_de, score_fr, score_es,
+           CASE greatest(score_en, score_de, score_fr, score_es)
+                WHEN score_en THEN 'en'
+                WHEN score_de THEN 'de'
+                WHEN score_fr THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-word hit rate, argmax
+    with first-match tie-break (en > de > fr > es — mirrored in the CASE
+    ordering of the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    def score(words: tuple[str, ...]) -> F.Column:
+        # single-arg lambda only: a second (defaulted) parameter would be
+        # bound to the array index by Spark's HOF machinery
+        marker = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter(toks, lambda t: F.array_contains(marker, t))
+        ).cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+    scored = d.select(
+        "doc_id",
+        *[score(words).alias(f"score_{lang}") for lang, words in LANG_MARKERS.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.when(F.col("score_en") == best, "en")
+    for lang in ("de", "fr"):
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return scored.withColumn("predicted_lang", pred.otherwise("es"))

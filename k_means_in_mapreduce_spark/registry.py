@@ -179,3 +179,6 @@ def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Import at bottom: they need the decorator defined above.)
 # --------------------------------------------------------------------------
 from .operators import relational  # noqa: E402,F401
+from .operators import text_analysis  # noqa: E402,F401
+from .operators import dedup  # noqa: E402,F401
+from .operators import similarity  # noqa: E402,F401

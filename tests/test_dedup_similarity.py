@@ -1,0 +1,70 @@
+"""Recall / property tests for the approximate (non-oracled) operators:
+MinHash-LSH, SimHash, hyperplane-LSH ANN — each validated against its
+exact oracle-checked baseline (SURVEY §5.2.5)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from k_means_in_mapreduce_spark import registry
+
+from .conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    df = registry.QUERIES["dedup_ngram_jaccard"](spark, SF001).toPandas()
+    return {(r.doc_a, r.doc_b): r.jaccard for r in df.itertuples()}
+
+
+def test_minhash_lsh_recall_and_estimate(spark, exact_pairs):
+    est = registry.QUERIES["dedup_minhash_lsh"](spark, SF001).toPandas()
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in est.itertuples()}
+    assert exact_pairs, "fixture should contain near-dup pairs"
+    # recall: every exact near-dup pair (j >= 0.6 threshold + margin) found
+    strong = {p for p, j in exact_pairs.items() if j >= 0.75}
+    found = strong & set(got)
+    assert len(found) >= 0.9 * len(strong), (len(found), len(strong))
+    # estimates for true pairs are close to the true jaccard
+    for p in found:
+        assert abs(got[p] - exact_pairs[p]) < 0.25, (p, got[p], exact_pairs[p])
+
+
+def test_simhash_separates_near_dups(spark, exact_pairs):
+    sims = registry.QUERIES["dedup_simhash"](spark, SF001).toPandas()
+    fp = dict(zip(sims.doc_id, sims.simhash))
+
+    def hamming(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    near = [hamming(fp[a], fp[b]) for a, b in exact_pairs]
+    rng = np.random.default_rng(0)
+    ids = sims.doc_id.to_numpy()
+    rand_pairs = [
+        (ids[i], ids[j])
+        for i, j in zip(rng.integers(0, len(ids), 300), rng.integers(0, len(ids), 300))
+        if ids[i] != ids[j] and (ids[i], ids[j]) not in exact_pairs
+    ]
+    rand = [hamming(fp[a], fp[b]) for a, b in rand_pairs]
+    assert np.mean(near) < 0.5 * np.mean(rand), (np.mean(near), np.mean(rand))
+
+
+def test_lsh_ann_recall(spark):
+    exact = registry.QUERIES["ann_bruteforce_topk"](spark, SF001).toPandas()
+    approx = registry.QUERIES["ann_lsh_topk"](spark, SF001).toPandas()
+    overlap = set(exact.vec_id) & set(approx.vec_id)
+    assert len(overlap) >= 5, f"LSH top-10 recall too low: {len(overlap)}/10"
+    # scores for common ids must be identical (same expression, exact math)
+    e = exact.set_index("vec_id").cos_sim
+    a = approx.set_index("vec_id").cos_sim
+    for vid in overlap:
+        assert abs(e[vid] - a[vid]) < 1e-12
+
+
+def test_exact_dedup_copies(spark):
+    """At sf0.01 all docs are distinct; the operator must report exactly
+    one copy per hash and as many hashes as docs."""
+    df = registry.QUERIES["dedup_exact"](spark, SF001).toPandas()
+    assert df.n_copies.sum() == 500
+    assert (df.n_copies >= 1).all()
