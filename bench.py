@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""BENCH harness — runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric: seconds per Lloyd iteration at n=100k points (the
+reference's benchmark unit — BASELINE.md reports ~23 s/iter for Hadoop
+MapReduce and 0.07 s/iter for sequential Python at n=100k, d=30).
+`embeddings` is deterministically tiled to 100k rows (d=64) so the scale
+matches the published grid. Per-query wall times for every registry entry
+are reported under "queries".
+
+Each query is forced end-to-end with the `noop` sink (full evaluation,
+no driver-side collect cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_N = 100_000  # reference benchmark scale (BASELINE.md, Fig 3.1/3.5)
+BENCH_K = 4
+BENCH_ITERS = 5
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kmeans-engine-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def force(df) -> None:
+    """Evaluate the full plan without shipping rows to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_kmeans_iteration(spark) -> dict:
+    """Seconds/iteration of the reference dataflow (assign -> CF agg ->
+    collect k rows) on n=100k cached points — BASELINE.md's headline unit."""
+    from pyspark.sql import functions as F
+
+    from k_means_in_mapreduce_spark.operators import kmeans_df as K
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n0 = emb.count()
+    copies = max(1, (BENCH_N + n0 - 1) // n0)
+    # Deterministic tiling: copy c shifts vec_id into a fresh id range and
+    # jitters dim 0 by c*1e-3 so points are distinct but the distribution
+    # (and thus iteration count) is stable run-to-run.
+    tiled = (
+        emb.crossJoin(spark.range(copies).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("vec_id") + F.col("copy") * n0).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x + F.when(i == 0, F.col("copy") * 1e-3).otherwise(F.lit(0.0))
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .limit(BENCH_N)
+    )
+    pts = tiled.repartition(CPUS).cache()
+    n = pts.count()  # materialize cache before the clock starts
+
+    t0 = time.monotonic()
+    model = K.fit(
+        pts,
+        K.KMeansConfig(k=BENCH_K, max_iter=BENCH_ITERS, tol=0.0, seed=42),
+    )
+    wall = time.monotonic() - t0
+    iters = max(1, model.n_iter)
+    pts.unpersist()
+    return {"n": n, "iterations": iters, "sec_per_iter": wall / iters, "wall": wall}
+
+
+def main() -> None:
+    import __spark_entry__ as E
+
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so query 1 doesn't absorb startup cost.
+    force(spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000))
+
+    per_query: dict[str, float] = {}
+    for name, fn in sorted(E.queries().items()):
+        t0 = time.monotonic()
+        try:
+            force(fn(spark, SF_DIR))
+            per_query[name] = round(time.monotonic() - t0, 3)
+        except Exception as ex:  # a broken query shows up as -1, not a crash
+            per_query[name] = -1.0
+            print(f"# BENCH ERROR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+
+    km = bench_kmeans_iteration(spark)
+    per_query["_kmeans_100k_per_iter"] = round(km["sec_per_iter"], 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "kmeans_sec_per_iteration_n100k",
+                "value": round(km["sec_per_iter"], 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "kmeans": {
+                    "n": km["n"],
+                    "k": BENCH_K,
+                    "iterations": km["iterations"],
+                    "total_wall_sec": round(km["wall"], 3),
+                },
+                "total_query_sec": round(
+                    sum(v for v in per_query.values() if v > 0), 3
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

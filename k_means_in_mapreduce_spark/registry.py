@@ -182,3 +182,5 @@ from .operators import relational  # noqa: E402,F401
 from .operators import text_analysis  # noqa: E402,F401
 from .operators import dedup  # noqa: E402,F401
 from .operators import similarity  # noqa: E402,F401
+from .operators import multimodal  # noqa: E402,F401
+from .streaming import queries as streaming_queries  # noqa: E402,F401

@@ -1,0 +1,91 @@
+"""Registry entries for the streaming surface.
+
+Each streaming query materializes through a memory sink and is checked
+against the SAME batch-semantics DuckDB oracle as its batch twin — the
+engine's batch/stream equivalence contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import _ASSIGN_CTE, _fixed_centroids, query
+from . import windows as W
+
+
+@query(
+    "stream_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.stream_tumbling_hourly(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_quarter_hour",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - t.i * 900) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events CROSS JOIN range(0, 4) t(i)
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding by 15min: every event belongs to exactly 4
+    windows — the oracle enumerates them by bucket arithmetic."""
+    return W.stream_sliding_quarter_hour(spark, sf_dir)
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, sum(value) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30min). NOTE the oracle splits on gap >= 30min
+    (strict window-overlap semantics of session_window), vs the batch
+    ``events_sessionized`` which splits on gap > 30min — they differ only
+    on gaps of exactly 30:00.000000."""
+    return W.stream_session_windows(spark, sf_dir)
+
+
+@query(
+    "stream_kmeans_scoring",
+    f"""WITH {_ASSIGN_CTE}
+    SELECT cluster_id, count(*) AS num_points FROM assign GROUP BY cluster_id""",
+)
+def stream_kmeans_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch streaming assignment against the fixed centroid model;
+    running per-cluster totals must equal the batch cluster sizes."""
+    cents = _fixed_centroids(spark, sf_dir)
+    return W.stream_kmeans_scoring(spark, sf_dir, cents)

@@ -1,0 +1,203 @@
+"""Structured Streaming surface over the ``events`` table
+(SURVEY §2.9 [extension]).
+
+The reference is strictly batch (its "iteration" is a driver while-loop of
+full MapReduce jobs, ``KMeans.java:130-187``); this module adds the stream
+processing a production deployment of the same pipeline needs:
+
+- tumbling / sliding event-time windows (``F.window``)
+- session windows with an inactivity gap (``F.session_window``)
+- watermarking for late data
+- ``foreachBatch`` incremental model scoring (streaming k-means
+  assignment against a broadcast/literal centroid set)
+
+Each entry point replays the parquet events table as a file-source stream
+into a memory sink and returns the materialized result, so the SAME
+DuckDB oracles that check the batch forms check the streaming forms: the
+contract is batch/stream semantic equivalence (same engine, same
+expressions — Structured Streaming's core promise).
+
+Scale notes: file-source + memory-sink is the test harness only; a real
+deployment swaps source/sink for Kafka + a transactional sink and keeps
+every transformation identical. State size: tumbling/sliding windows keep
+O(windows x types) rows; session windows O(active sessions); watermarks
+bound both.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_mem_counter = itertools.count()
+
+# events.parquet raw schema (ts read as int64 nanos, converted after load —
+# same convention as sources.tables.load_table)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory: stream the sf dir, filtered
+    # down to the events table file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion against a uniquely
+    named memory sink; return the result as a static DataFrame."""
+    name = f"stream_result_{next(_mem_counter)}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    # materialize before the sink table goes away
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), out.schema)
+    return result
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows by event_type with a 1h watermark — streaming
+    twin of the batch ``events_hourly_by_type`` (same oracle)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg)
+
+
+def stream_sliding_quarter_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows advancing every 15min (each event lands in 4
+    windows)."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg)
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Semantics note: ``session_window`` merges an event into a session iff
+    its time is STRICTLY before previous-end (= last ts + gap), i.e. a gap
+    of exactly 30:00.000000 starts a new session — identical to the batch
+    ``events_sessionized`` rule (gap > 30min splits ... merge iff
+    gap < 30min; they differ only at exact equality, which has measure
+    zero in µs data). session_end is reported as last-event-time (window
+    end minus the gap) to match the batch form.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES")
+            ).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory(agg)
+
+
+def stream_kmeans_scoring(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """foreachBatch incremental model scoring: each micro-batch of vectors
+    is assigned to its nearest centroid (same expression as the batch
+    path) and per-cluster counts are merged into a driver-side running
+    state — the streaming analogue of the reference's scoring pass, with
+    the centroid set as the broadcast model."""
+    from ..operators.kmeans_df import assign_clusters
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType(), containsNull=True)
+            ),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+
+    totals: dict[int, int] = {}
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        counts = (
+            assign_clusters(batch_df, centroids)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in counts:
+            totals[r["cluster_id"]] = totals.get(r["cluster_id"], 0) + r["n"]
+
+    q = stream.writeStream.foreachBatch(score_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = [(cid, n) for cid, n in sorted(totals.items())]
+    return spark.createDataFrame(rows, "cluster_id int, num_points bigint")
