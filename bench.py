@@ -81,15 +81,29 @@ def bench_kmeans_iteration(spark) -> dict:
     pts = tiled.repartition(CPUS).cache()
     n = pts.count()  # materialize cache before the clock starts
 
-    t0 = time.monotonic()
-    model = K.fit(
-        pts,
-        K.KMeansConfig(k=BENCH_K, max_iter=BENCH_ITERS, tol=0.0, seed=42),
-    )
-    wall = time.monotonic() - t0
-    iters = max(1, model.n_iter)
+    # Warm the Python workers (fork + numpy/pandas import) before timing —
+    # iteration cadence on a long-lived cluster runs against warm workers.
+    K.cluster_features_arrow(pts, K.sample_initial_centroids(
+        pts, BENCH_K, 42, "embedding"), "embedding")
+
+    out = {"n": n}
+    for method in ("arrow", "expr"):
+        t0 = time.monotonic()
+        model = K.fit(
+            pts,
+            K.KMeansConfig(
+                k=BENCH_K, max_iter=BENCH_ITERS, tol=0.0, seed=42, method=method
+            ),
+        )
+        wall = time.monotonic() - t0
+        iters = max(1, model.n_iter)
+        out[method] = {
+            "iterations": iters,
+            "sec_per_iter": wall / iters,
+            "wall": wall,
+        }
     pts.unpersist()
-    return {"n": n, "iterations": iters, "sec_per_iter": wall / iters, "wall": wall}
+    return out
 
 
 def main() -> None:
@@ -112,22 +126,26 @@ def main() -> None:
             print(f"# BENCH ERROR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
     km = bench_kmeans_iteration(spark)
-    per_query["_kmeans_100k_per_iter"] = round(km["sec_per_iter"], 3)
+    per_query["_kmeans_100k_per_iter_arrow"] = round(km["arrow"]["sec_per_iter"], 3)
+    per_query["_kmeans_100k_per_iter_expr"] = round(km["expr"]["sec_per_iter"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "kmeans_sec_per_iteration_n100k",
-                "value": round(km["sec_per_iter"], 3),
+                "value": round(km["arrow"]["sec_per_iter"], 3),
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "kmeans": {
                     "n": km["n"],
                     "k": BENCH_K,
-                    "iterations": km["iterations"],
-                    "total_wall_sec": round(km["wall"], 3),
+                    "iterations": km["arrow"]["iterations"],
+                    "sec_per_iter_expr": round(km["expr"]["sec_per_iter"], 3),
+                    "total_wall_sec": round(
+                        km["arrow"]["wall"] + km["expr"]["wall"], 3
+                    ),
                 },
                 "total_query_sec": round(
                     sum(v for v in per_query.values() if v > 0), 3

