@@ -140,7 +140,10 @@ def kmeans_fit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full seeded Lloyd loop, reference-exact semantics; returns the final
     (cluster_id, num_points, size-weighted centroid norm) summary."""
     emb = load_table(spark, sf_dir, "embeddings")
-    model = K.fit(emb, K.KMeansConfig(k=10, max_iter=10, tol=1e-3, seed=42))
+    model = K.fit(
+        emb,
+        K.KMeansConfig(k=10, max_iter=10, tol=1e-3, seed=42, method="arrow"),
+    )
     final = K.assign_clusters(emb, model.centroids).groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("num_points")
     )
