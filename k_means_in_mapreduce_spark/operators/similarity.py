@@ -133,6 +133,47 @@ def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16  # coarse-quantizer size
+IVF_PROBES = 4  # cells searched per query
+
+
+@query("ann_ivf_topk")  # approximate — recall-tested vs the exact baseline
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a seeded k-means coarse quantizer
+    partitions the vectors into IVF_CELLS cells; a query probes only its
+    IVF_PROBES nearest cells and exactly re-ranks that slice by cosine.
+
+    This is the engine's own k-means (Arrow path) reused as an index
+    builder — the classic IVF-Flat layout. At 100 TB the cell id becomes
+    the partition key of the stored index, so each probe reads
+    IVF_PROBES/IVF_CELLS of the data; the scan below filters on the
+    cell-id column the same way.
+    """
+    from .kmeans_df import KMeansConfig, assign_clusters, fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    model = fit(
+        e, KMeansConfig(k=IVF_CELLS, max_iter=5, tol=0.0, seed=7, method="arrow")
+    )
+    qv = _query_vector(spark, sf_dir)
+    # driver-side probe selection: distances from the query to all cells
+    d2 = [
+        sum((a - b) ** 2 for a, b in zip(qv, c)) for c in model.centroids
+    ]
+    probes = sorted(range(IVF_CELLS), key=lambda i: (d2[i], i))[:IVF_PROBES]
+
+    cells = assign_clusters(e, model.centroids)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        cells.filter(
+            F.col("cluster_id").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", cosine_similarity("embedding", qlit).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 def _bucket_expr(features_col: str, planes: list[list[float]]) -> F.Column:
     """Sign-pattern bucket id: bit p set iff dot(features, plane_p) > 0."""
     bucket = F.lit(0).cast("long")

@@ -1,0 +1,139 @@
+"""CSV / JSON / reference-text source-sink coverage (SURVEY §2.1 last row:
+formats the reference lacks, free via Spark's builtin readers — registered
+here so the coverage is *demonstrated*, not just claimed).
+
+Each query writes a slice of the canonical parquet data to the format
+under test (overwrite, deterministic content), reads it back with an
+explicit schema, and aggregates — oracle-checked against the same
+aggregate computed straight from parquet. Timestamps cross the text
+formats as explicit microsecond-precision strings (CSV/JSON have no
+timestamp type; relying on format inference would be lossy).
+
+Scratch dir: ``.tmp/`` under the repo root (gitignored) — per-sf
+subdirs so scale factors don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    return os.path.join(_REPO_ROOT, ".tmp", f"{name}{tag}")
+
+
+@query(
+    "csv_roundtrip_orders_by_status",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders, sum(o_totalprice) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> CSV (header, explicit timestamp format) -> read back with
+    explicit schema -> aggregate; proves the CSV source/sink preserves
+    values bit-for-bit for the supported types."""
+    path = _scratch(sf_dir, "orders_csv")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.withColumn("o_orderdate", F.date_format("o_orderdate", _TS_FMT))
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string"
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema(schema)
+        .csv(path)
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate", _TS_FMT))
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "json_roundtrip_events_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events GROUP BY day, event_type
+    """,
+)
+def json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON lines (explicit µs timestamp strings) -> read back ->
+    daily per-type rollup."""
+    path = _scratch(sf_dir, "events_json")
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.withColumn("ts", F.date_format("ts", _TS_FMT))
+        .write.mode("overwrite")
+        .json(path)
+    )
+    schema = (
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .json(path)
+        .withColumn("ts", F.to_timestamp("ts", _TS_FMT))
+    )
+    return back.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+@query(
+    "text_points_ingest",
+    """
+    SELECT CAST(len(embedding) AS INT) AS dim,
+           count(*) AS n_points,
+           sum(CAST(embedding[1] AS DOUBLE)) AS sum_first_dim
+    FROM embeddings
+    GROUP BY dim
+    """,
+)
+def text_points_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's native on-disk format end-to-end: embeddings
+    formatted as '<a, b, ...>' lines (Point.toString, Point.java:96-106),
+    written as a text file, re-ingested with the expression-only parser
+    (KMeans.java:261-274 semantics), then aggregated. Float->string->
+    double roundtrip is exact for float32 values printed at full
+    precision."""
+    from .text_points import format_points, parse_points_df
+
+    path = _scratch(sf_dir, "points_text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    format_points(emb, "embedding").select("point_str").write.mode(
+        "overwrite"
+    ).text(path)
+    parsed = parse_points_df(
+        spark.read.text(path), "value"
+    )
+    return parsed.select(F.size("features").alias("dim"), "features").groupBy(
+        "dim"
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.element_at("features", 1)).alias("sum_first_dim"),
+    )

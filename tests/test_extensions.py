@@ -1,0 +1,109 @@
+"""Tests for the extension operators: as-of/range joins, IVF ANN,
+stateful streaming (oracle-checked queries are additionally covered by
+the driver's DuckDB gate; these tests pin the semantic corner cases)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_in_mapreduce_spark.operators.asof import asof_join
+from k_means_in_mapreduce_spark.sources import load_table
+
+from .conftest import SF0001
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_at_or_before(spark):
+    """Equal timestamps match (at-or-before), later right rows don't, and
+    the LATEST prior right row wins."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(10)), (2, 10, _ts(5)), (3, 20, _ts(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(5), 1.0),   # equal to left #2's ts -> matches it
+            (10, _ts(9), 2.0),   # latest prior for left #1
+            (10, _ts(11), 9.0),  # after left #1 -> never matched
+            (20, _ts(40), 9.0),  # after left #3 -> no match for user 20
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"ts": "m_ts", "value": "m_value"},
+    )
+    got = {r["event_id"]: (r["m_ts"], r["m_value"]) for r in out.collect()}
+    assert got[1] == (_ts(9), 2.0)
+    assert got[2] == (_ts(5), 1.0)
+    assert got[3] == (None, None)
+
+
+def test_range_join_binned_boundaries(spark, monkeypatch):
+    """Bin-covering correctness: gaps of exactly the window width match
+    (inclusive upper), zero/negative gaps don't, cross-bucket pairs are
+    found, no duplicates emitted."""
+    from k_means_in_mapreduce_spark.operators import asof as A
+
+    rows = [
+        # error at t=0s; clicks at +1s (match), +600s (match, boundary),
+        # +601s (no), 0s (no: strict lower), -5s (no)
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "error", 0.0, ""),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 1), 1, "click", 0.0, ""),
+        (3, dt.datetime(2024, 1, 1, 0, 10, 0), 1, "click", 0.0, ""),
+        (4, dt.datetime(2024, 1, 1, 0, 10, 1), 1, "click", 0.0, ""),
+        (5, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "click", 0.0, ""),
+        (6, dt.datetime(2023, 12, 31, 23, 59, 55), 1, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        A, "load_table", lambda _spark, _sf, _name: df
+    )
+    out = A.events_range_error_click(spark, "unused").collect()
+    matched = sorted(r["click_event_id"] for r in out)
+    assert matched == [2, 3]
+    assert len(out) == len(set((r["error_event_id"], r["click_event_id"]) for r in out))
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with 4/16 probes must recover most of the exact top-10."""
+    from k_means_in_mapreduce_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    exact = {r["vec_id"] for r in ann_bruteforce_topk(spark, SF0001).collect()}
+    approx = {r["vec_id"] for r in ann_ivf_topk(spark, SF0001).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_stateful_running_totals_match_batch(spark):
+    """applyInPandasWithState final state == batch groupBy aggregate."""
+    from k_means_in_mapreduce_spark.streaming.stateful import (
+        running_totals_stateful,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in running_totals_stateful(spark, SF0001).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, SF0001, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, tv) in want.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(tv, rel=1e-9)
