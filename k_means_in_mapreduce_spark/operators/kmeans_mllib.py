@@ -66,3 +66,44 @@ def transform_mllib(result: MLlibKMeansResult, df: DataFrame,
 
     vecs = df.withColumn("__features", array_to_vector(F.col(features_col)))
     return result.model.transform(vecs).drop("__features")
+
+
+def fit_bisecting(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    seed: int = 42,
+    features_col: str = "embedding",
+):
+    """Hierarchical divisive clustering (MLlib BisectingKMeans) — the
+    'clustering beyond Lloyd' surface (SURVEY §2.12): same vector column
+    contract as fit_mllib."""
+    from pyspark.ml.clustering import BisectingKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.withColumn("_features", array_to_vector(F.col(features_col)))
+    model = (
+        BisectingKMeans(k=k, maxIter=max_iter, seed=seed, featuresCol="_features")
+        .fit(vec)
+    )
+    return model, vec
+
+
+def fit_gmm(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    seed: int = 42,
+    features_col: str = "embedding",
+):
+    """Gaussian mixture (EM) — soft cluster assignments with per-component
+    covariance; the probabilistic sibling of k-means."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.withColumn("_features", array_to_vector(F.col(features_col)))
+    model = (
+        GaussianMixture(k=k, maxIter=max_iter, seed=seed, featuresCol="_features")
+        .fit(vec)
+    )
+    return model, vec

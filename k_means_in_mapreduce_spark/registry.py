@@ -163,6 +163,36 @@ def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kmeans_fit_bisecting")  # iterative — rows-only check
+def kmeans_fit_bisecting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BisectingKMeans cluster sizes (clustering beyond Lloyd, §2.12)."""
+    from .operators.kmeans_mllib import fit_bisecting
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, vec = fit_bisecting(emb, k=8, max_iter=10, seed=42)
+    return (
+        model.transform(vec)
+        .groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("num_points"))
+    )
+
+
+@query("kmeans_fit_gmm")  # iterative — rows-only check
+def kmeans_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GaussianMixture responsibilities summary (soft clustering)."""
+    from .operators.kmeans_mllib import fit_gmm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, vec = fit_gmm(emb, k=4, max_iter=10, seed=42)
+    return (
+        model.transform(vec)
+        .groupBy(F.col("prediction").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("num_points"),
+        )
+    )
+
+
 @query("points_text_roundtrip")  # string formatting is engine-specific — rows-only
 def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference text format fidelity: embedding -> '<a, b>' -> parse ->

@@ -66,3 +66,34 @@ def test_no_python_udf_in_relational_queries(spark):
             continue  # iterative drivers collect(); plan checked above
         plan = explain_string(fn(spark, SF001))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_asof_single_shuffle(spark):
+    """As-of join = union + one window shuffle on the key; no self-join,
+    no broadcast-nested-loop."""
+    df = registry.QUERIES["events_asof_last_purchase"](spark, SF001)
+    plan = explain_string(df)
+    assert count_exchanges(df) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The binned range join must plan as a hash/sort-merge/broadcast-hash
+    equi-join, never a nested-loop over the inequality."""
+    df = registry.QUERIES["events_range_error_click"](spark, SF001)
+    plan = explain_string(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_cosine_no_join(spark):
+    """Blocked-matmul cosine: a single Arrow map stage over the scan —
+    no join operator, no shuffle."""
+    df = registry.QUERIES["dedup_embedding_cosine"](spark, SF001)
+    plan = explain_string(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) == 0, plan
+
+
+def test_knn_join_broadcasts_query_side(spark):
+    df = registry.QUERIES["ann_knn_join_exact"](spark, SF001)
+    assert has_broadcast_join(df)
