@@ -112,8 +112,20 @@ def main() -> None:
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/session so query 1 doesn't absorb startup cost.
+    # Warm the JVM/session AND the Python workers (fork + numpy/pandas
+    # import) so query 1 doesn't absorb startup cost — a long-lived
+    # cluster runs against warm executors.
     force(spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000))
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    warm = spark.range(CPUS * 4).repartition(CPUS)
+    warm.mapInPandas(_warm, "id long").write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     per_query: dict[str, float] = {}
     for name, fn in sorted(E.queries().items()):

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, dot
+from ..functions.vector import cosine_similarity
 from ..registry import query
 from ..sources import load_table
 
@@ -174,42 +174,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(features_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-pattern bucket id: bit p set iff dot(features, plane_p) > 0."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(
-            dot(features_col, plane_lit) > 0, F.lit(2 ** p).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return bucket
-
-
 @query("ann_lsh_topk")  # approximate — recall-tested vs the exact baseline
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN (classic Indyk-Motwani
     scheme): L independent tables of k sign bits each; a vector is a
     candidate if it collides with the query in ANY table; candidates are
-    exactly re-ranked by cosine. The collision test compiles to a single
-    narrow filter (no join, no shuffle); at 100 TB the table buckets
-    become partition keys so each probe reads a bounded slice."""
+    exactly re-ranked by cosine.
+
+    Vectorized: all L·k plane dot-products per batch are ONE matmul
+    against the broadcast plane matrix inside an Arrow map stage (the
+    expression form compiled a ~10k-node tree of interpreted HOF dots —
+    4x slower end-to-end at sf0.1). Still a narrow filter: no join, no
+    shuffle; at 100 TB the table buckets become partition keys of the
+    stored index so each probe reads a bounded slice."""
+    import numpy as np
+
     e = load_table(spark, sf_dir, "embeddings")
-    qv = _query_vector(spark, sf_dir)
+    qv = np.asarray(_query_vector(spark, sf_dir))
 
-    collide = None
-    for table in range(LSH_TABLES):
-        planes = _lcg_planes(LSH_PLANES, DIM, seed=42 + 97 * table)
-        qbucket = 0
-        for p, plane in enumerate(planes):
-            if sum(a * b for a, b in zip(qv, plane)) > 0:
-                qbucket += 2 ** p
-        this = _bucket_expr("embedding", planes) == F.lit(qbucket)
-        collide = this if collide is None else (collide | this)
+    P = np.asarray(
+        [
+            plane
+            for t in range(LSH_TABLES)
+            for plane in _lcg_planes(LSH_PLANES, DIM, seed=42 + 97 * t)
+        ]
+    )  # (L*k) x d
+    qbits = (P @ qv) > 0
+    qn = qv / np.linalg.norm(qv)
+    n_planes, n_tables = LSH_PLANES, LSH_TABLES
+    query_vec_id = QUERY_VEC_ID
 
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
-    return (
-        e.filter(collide & (F.col("vec_id") != QUERY_VEC_ID))
-        .select("vec_id", cosine_similarity("embedding", qlit).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(TOP_K)
+    # Self-contained closure (shipped by value; see multimodal.py note).
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        qb = qbits.reshape(n_tables, n_planes)
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (X @ P.T > 0).reshape(len(X), n_tables, n_planes)
+            hit = (bits == qb[None, :, :]).all(axis=2).any(axis=1)
+            hit &= pdf["vec_id"].to_numpy() != query_vec_id
+            if not hit.any():
+                continue
+            Xh = X[hit]
+            cos = (Xh @ qn) / np.linalg.norm(Xh, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy()[hit], "cos_sim": cos}
+            )
+
+    cands = e.select("vec_id", "embedding").mapInPandas(
+        probe, "vec_id bigint, cos_sim double"
     )
+    return cands.orderBy(F.desc("cos_sim"), "vec_id").limit(TOP_K)
