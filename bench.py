@@ -127,12 +127,18 @@ def main() -> None:
         "noop"
     ).save()
 
+    # min of 2 runs per query: steady-state timing (first run can absorb
+    # one-off costs — shuffle file creation, codegen compile, GC pauses).
     per_query: dict[str, float] = {}
     for name, fn in sorted(E.queries().items()):
-        t0 = time.monotonic()
+        best = None
         try:
-            force(fn(spark, SF_DIR))
-            per_query[name] = round(time.monotonic() - t0, 3)
+            for _ in range(2):
+                t0 = time.monotonic()
+                force(fn(spark, SF_DIR))
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            per_query[name] = round(best, 3)
         except Exception as ex:  # a broken query shows up as -1, not a crash
             per_query[name] = -1.0
             print(f"# BENCH ERROR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)

@@ -107,3 +107,22 @@ def test_stateful_running_totals_match_batch(spark):
     for uid, (n, tv) in want.items():
         assert got[uid][0] == n
         assert got[uid][1] == pytest.approx(tv, rel=1e-9)
+
+
+def test_hll_error_bound(spark):
+    """approx_count_distinct (rsd=0.02) within 5% of exact per group."""
+    from k_means_in_mapreduce_spark.operators.statistics import (
+        events_distinct_users,
+        events_distinct_users_hll,
+    )
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in events_distinct_users(spark, SF0001).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in events_distinct_users_hll(spark, SF0001).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, n, approx[et])
