@@ -69,10 +69,32 @@ class KMeansModel:
     converged: bool
     movement_history: list[float] = field(default_factory=list)
     reinit_count: int = 0  # empty-cluster full re-inits (reference C4)
+    wall_sec: float = 0.0
 
     def assign(self, df: DataFrame, features_col: str = "embedding",
                output_col: str = "cluster_id") -> DataFrame:
         return assign_clusters(df, self.centroids, features_col, output_col)
+
+    def report(self) -> dict:
+        """Structured run report — the engine's C6 (the reference appends
+        wall time / iterations / final error to ``outputsLog.txt``,
+        ``KMeans.java:116,119-127,189-193``; we return JSON-able data
+        instead of a side-effect log)."""
+        return {
+            "k": len(self.centroids),
+            "dim": len(self.centroids[0]) if self.centroids else 0,
+            "iterations": self.n_iter,
+            "converged": self.converged,
+            "final_movement": (
+                self.movement_history[-1] if self.movement_history else None
+            ),
+            "movement_history": list(self.movement_history),
+            "empty_cluster_reinits": self.reinit_count,
+            "wall_sec": self.wall_sec,
+            "sec_per_iter": (
+                self.wall_sec / self.n_iter if self.n_iter else None
+            ),
+        }
 
 
 def assign_clusters(
@@ -202,6 +224,9 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
         raise ValueError("empty dataset")
     dim = len(first[0])
 
+    import time
+
+    t_start = time.monotonic()
     points = points.cache()
     points.count()  # materialize the cache before iterating
 
@@ -248,6 +273,7 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
         converged=converged,
         movement_history=history,
         reinit_count=reinits,
+        wall_sec=time.monotonic() - t_start,
     )
 
 

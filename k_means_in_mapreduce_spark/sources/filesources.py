@@ -105,6 +105,43 @@ def json_roundtrip_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "partitioned_sink_pruned_scan",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned scan: orders
+    written ``partitionBy(o_orderstatus)``, then a status-filtered
+    aggregate reads back ONLY the matching partition directory (the
+    filter resolves at planning time against directory names, zero data
+    skipped rows read). At 100 TB this is the layout knob: partition by
+    the dominant coarse filter, sort/bucket within partitions for the
+    join key. Pruning is asserted in tests/test_plans.py."""
+    path = _scratch(sf_dir, "orders_part")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
     "text_points_ingest",
     """
     SELECT CAST(len(embedding) AS INT) AS dim,

@@ -97,3 +97,26 @@ def test_embedding_cosine_no_join(spark):
 def test_knn_join_broadcasts_query_side(spark):
     df = registry.QUERIES["ann_knn_join_exact"](spark, SF001)
     assert has_broadcast_join(df)
+
+
+def test_partitioned_sink_prunes(spark):
+    """The status filter must become a PartitionFilter (planning-time
+    directory pruning), not a data filter."""
+    df = registry.QUERIES["partitioned_sink_pruned_scan"](spark, SF001)
+    plan = explain_string(df)
+    assert "PartitionFilters: [" in plan, plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
+
+
+def test_run_report_shape(spark):
+    from k_means_in_mapreduce_spark.operators import kmeans_df as K
+    from k_means_in_mapreduce_spark.sources import load_table
+    from .conftest import SF0001
+
+    emb = load_table(spark, SF0001, "embeddings")
+    model = K.fit(emb, K.KMeansConfig(k=3, max_iter=2, tol=0.0, seed=1))
+    rep = model.report()
+    assert rep["iterations"] == 2 and rep["k"] == 3 and rep["dim"] == 64
+    assert rep["wall_sec"] > 0 and len(rep["movement_history"]) == 2
