@@ -273,6 +273,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_mllib")  # approximate — recall-tested vs exact Jaccard
+def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-native near-dup path: HashingTF(shingles) -> MinHashLSH ->
+    approxSimilarityJoin (SURVEY §2.12's stated MLlib mapping, kept
+    alongside the expression-built MinHash above). MLlib computes the
+    EXACT Jaccard distance on the hashed-TF vectors for each LSH
+    candidate pair, so the threshold below is exact-on-candidates."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = _shingled(spark, sf_dir)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="tf", numFeatures=1 << 18, binary=True
+    )
+    v = tf.transform(sh).select("doc_id", "tf")
+    model = MinHashLSH(
+        inputCol="tf", outputCol="sig", numHashTables=LSH_BANDS, seed=42
+    ).fit(v)
+    pairs = model.approxSimilarityJoin(
+        v, v, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) — rows-only; hamming-distance property tests
 # ---------------------------------------------------------------------------

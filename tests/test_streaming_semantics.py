@@ -1,0 +1,93 @@
+"""Watermark / late-data semantics (SURVEY §2.9): data older than the
+watermark must be DROPPED from stateful streaming aggregations, finalized
+windows must not re-emit. Exercised with a two-batch file-source replay
+(second file written only after the first batch commits, so the watermark
+has advanced between them)."""
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name: str, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/_stage")
+        part = [
+            f
+            for f in os.listdir(f"{src}/_stage")
+            if f.endswith(".parquet") and not f.startswith("_")
+        ][0]
+        shutil.copy(f"{src}/_stage/{part}", f"{src}/{name}")
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    # batch 1: two events in the 09:00 window, one in 10:00, one at 11:00
+    # -> watermark after commit = 11:00 - 30min = 10:30 -> 09:00 window
+    # (end 10:00 <= 10:30) finalized and emitted.
+    write_file("b1.parquet", [
+        (1, T(9, 5), 1.0), (2, T(9, 10), 1.0), (3, T(10, 5), 1.0), (4, T(11, 0), 1.0),
+    ])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted_1 = {r["ws"]: r["n"] for r in spark.table("wm_test").collect()}
+        assert emitted_1 == {T(9, 0): 2}, emitted_1
+
+        # batch 2: a LATE event in the already-finalized 09:00 window
+        # (must be dropped) + an event at 12:30 that advances the
+        # watermark to 12:00, finalizing the 10:00 and 11:00 windows.
+        write_file("b2.parquet", [
+            (5, T(9, 20), 1.0), (6, T(12, 30), 1.0),
+        ])
+        q.processAllAvailable()
+        emitted_2 = {r["ws"]: r["n"] for r in spark.table("wm_test").collect()}
+    finally:
+        q.stop()
+
+    # 09:00 still 2 (late row dropped, no re-emission); 10:00 and 11:00
+    # finalized with their on-time counts; 12:00 still open -> absent.
+    assert emitted_2 == {T(9, 0): 2, T(10, 0): 1, T(11, 0): 1}, emitted_2
+
+
+def test_mllib_minhash_recall(spark):
+    """MLlib MinHashLSH path recovers the exact high-Jaccard pairs."""
+    from k_means_in_mapreduce_spark.operators.dedup import (
+        dedup_minhash_mllib,
+        dedup_ngram_jaccard,
+    )
+    from .conftest import SF0001
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF0001).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_mllib(spark, SF0001).collect()
+    }
+    if exact:
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.8, (recall, len(exact), len(got))
