@@ -137,11 +137,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 7.8s -> 0.9s for this stage at sf0.1). No row is actually empty
     # (_shingled filters on token count), so the outer variant is
     # value-identical.
-    ex = sh.select("doc_id", F.explode_outer("shingles").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
-    )
+    # Carry each doc's shingle-set size in the posting entries so the
+    # final Jaccard needs NO join back to a sizes relation (and the
+    # shingling runs exactly once).
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode_outer("shingles").alias("s"),
+    ).select(F.struct("doc_id", "n").alias("e"), F.xxhash64("s").alias("h"))
     postings = ex.groupBy("h").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("docs")
+        F.array_sort(F.collect_list("e")).alias("docs")  # sorts by doc_id
     ).filter(F.size("docs") > 1)
     # all ordered pairs (docs[i], docs[j]) with i < j, expression-side
     pairs = postings.select(
@@ -154,31 +159,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "docs", i + F.lit(2), F.size("docs") - i - F.lit(1)
                         ),
                         lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
+                            x["doc_id"].alias("doc_a"),
+                            x["n"].alias("na"),
+                            y["doc_id"].alias("doc_b"),
+                            y["n"].alias("nb"),
                         ),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    pair_common = pairs.groupBy("doc_a", "doc_b").agg(
+    ).select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+    pair_common = pairs.groupBy("doc_a", "na", "doc_b", "nb").agg(
         F.count(F.lit(1)).alias("n_common")
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    jac = (
-        pair_common.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common")),
-        )
+    jac = pair_common.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")),
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"
