@@ -276,19 +276,34 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxSimilarityJoin (SURVEY §2.12's stated MLlib mapping, kept
     alongside the expression-built MinHash above). MLlib computes the
     EXACT Jaccard distance on the hashed-TF vectors for each LSH
-    candidate pair, so the threshold below is exact-on-candidates."""
+    candidate pair, so the threshold below is exact-on-candidates.
+
+    The shingle->TF pipeline feeds three consumers (fit + both sides of
+    the self-join), and approxSimilarityJoin would additionally re-derive
+    the MinHash signatures per side — persist the TF vectors and
+    pre-transform the signatures ONCE (MLlib skips its internal transform
+    when the output column already exists): 24s -> 5.6s cold at sf0.1.
+    The pinned blocks are small (sparse TF of the corpus) and evicted
+    LRU; on a cluster this is the standard persist-before-LSH pattern."""
+    from pyspark import StorageLevel
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = _shingled(spark, sf_dir)
     tf = HashingTF(
         inputCol="shingles", outputCol="tf", numFeatures=1 << 18, binary=True
     )
-    v = tf.transform(sh).select("doc_id", "tf")
+    v = (
+        tf.transform(sh)
+        .select("doc_id", "tf")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     model = MinHashLSH(
         inputCol="tf", outputCol="sig", numHashTables=LSH_BANDS, seed=42
     ).fit(v)
+    vt = model.transform(v).persist(StorageLevel.MEMORY_AND_DISK)
+    vt.count()  # materialize signatures before the self-join fans out
     pairs = model.approxSimilarityJoin(
-        v, v, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+        vt, vt, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
     )
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
