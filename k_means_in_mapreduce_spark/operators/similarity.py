@@ -134,7 +134,7 @@ def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_CELLS = 16  # coarse-quantizer size
-IVF_PROBES = 4  # cells searched per query
+IVF_PROBES = 6  # cells searched per query (6/16 of the data per probe)
 
 
 @query("ann_ivf_topk")  # approximate — recall-tested vs the exact baseline
@@ -148,6 +148,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition key of the stored index, so each probe reads
     IVF_PROBES/IVF_CELLS of the data; the scan below filters on the
     cell-id column the same way.
+
+    At 100 TB the quantizer would train on a bounded seeded sample
+    (FAISS-style, ~30-256 vectors per cell) rather than the full set;
+    at the testdata scales (500-2000 vectors) the full set IS that
+    sample, so no sampling stage is added here.
     """
     from .kmeans_df import KMeansConfig, assign_clusters, fit
 
