@@ -220,6 +220,7 @@ from .operators import asof  # noqa: E402,F401
 from .operators import setops  # noqa: E402,F401
 from .operators import statistics  # noqa: E402,F401
 from .operators import skew  # noqa: E402,F401
+from .operators import pipeline  # noqa: E402,F401
 from .sources import filesources  # noqa: E402,F401
 from .streaming import queries as streaming_queries  # noqa: E402,F401
 from .streaming import stateful  # noqa: E402,F401

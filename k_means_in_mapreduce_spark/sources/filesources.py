@@ -142,6 +142,77 @@ def partitioned_sink_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_lineitem_status",
+    """
+    SELECT l_linestatus,
+           count(*) AS n_items,
+           sum(l_quantity) AS total_qty,
+           sum(l_extendedprice) AS total_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def orc_roundtrip_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> ORC -> read back -> aggregate. ORC has native timestamp
+    and decimal encodings, so unlike CSV/JSON no string escort is needed —
+    the roundtrip is schema-preserving by construction."""
+    path = _scratch(sf_dir, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum("l_extendedprice").alias("total_price"),
+    )
+
+
+@query(
+    "bucketed_join_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing — THE layout technique
+    for repeated large-x-large joins at 100 TB.
+
+    Both sides are written ``bucketBy(8, custkey).sortBy(custkey)``: rows
+    are pre-hash-partitioned into the same bucket layout ON DISK, so the
+    sort-merge join reads bucket i of each side directly — no Exchange
+    (shuffle) and no per-query Sort for either side
+    (tests/test_plans.py asserts the plan is Exchange-free). Pay the
+    shuffle once at write time, amortize it over every subsequent join on
+    that key. The MERGE hint keeps Catalyst from broadcasting the small
+    local-test side, which would hide the bucketing (on the 100 TB target
+    neither side broadcasts)."""
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    names = {}
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        name = f"bkt_{tbl}{tag}"
+        names[tbl] = name
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .option("path", _scratch(sf_dir, f"bkt_{tbl}"))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    c = spark.table(names["customer"])
+    o = spark.table(names["orders"])
+    joined = c.hint("merge").join(o, o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
     "text_points_ingest",
     """
     SELECT CAST(len(embedding) AS INT) AS dim,

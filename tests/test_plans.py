@@ -110,6 +110,27 @@ def test_partitioned_sink_prunes(spark):
     assert m and "o_orderstatus" in m.group(1), plan
 
 
+def test_bucketed_join_no_shuffle(spark):
+    """Bucketed co-located join: the sort-merge join reads both sides'
+    bucket files directly — the ONLY exchange in the whole query is the
+    final groupBy's (the join itself is shuffle-free). This is the
+    pay-once/amortize-forever layout for repeated big joins at 100 TB."""
+    df = registry.QUERIES["bucketed_join_segment_revenue"](spark, SF001)
+    plan = explain_string(df)
+    assert "SortMergeJoin" in plan, plan
+    # exactly one shuffle in the whole query — the final groupBy's; the
+    # join itself contributes none (both inputs are bucket-file scans)
+    assert count_exchanges(df) == 1, plan
+
+
+def test_pipeline_single_shuffle(spark):
+    """The composed quality-gate -> dedup pipeline keeps the standalone
+    operators' shuffle budget: exactly one exchange (the dedup groupBy on
+    the md5 digest); gating is a narrow filter below it."""
+    df = registry.QUERIES["pipeline_training_corpus"](spark, SF001)
+    assert count_exchanges(df) == 1, explain_string(df)
+
+
 def test_run_report_shape(spark):
     from k_means_in_mapreduce_spark.operators import kmeans_df as K
     from k_means_in_mapreduce_spark.sources import load_table
