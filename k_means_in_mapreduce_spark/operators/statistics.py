@@ -33,59 +33,75 @@ from ..sources import load_table
     """,
 )
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per return flag, computed from the
-    per-group CDF over DISTINCT values instead of Spark's ``percentile``
-    aggregate.
+    """Exact interpolated quantiles per return flag via the distributed
+    CDF operator ``exact_quantiles`` (see its docstring for the scale
+    rationale vs Spark's buffer-everything ``percentile`` aggregate).
+    Matches DuckDB ``quantile_cont`` bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li,
+        key_col="l_returnflag",
+        val_col="l_extendedprice",
+        quantiles={"p25": 0.25, "p50": 0.50, "p75": 0.75},
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    quantiles: dict[str, float],
+) -> DataFrame:
+    """EXACT linearly-interpolated quantiles per group, computed from the
+    per-group CDF over DISTINCT values — a scalable replacement for
+    Spark's ``percentile`` aggregate.
 
     ``percentile`` is a TypedImperativeAggregate whose partial state is a
     counts-map of every value it has seen — the shuffle carries the whole
-    value distribution and the final task per group materializes it
-    (2.1-2.4 s at sf0.1; unbounded memory per group at 100 TB). The CDF
-    form keeps every stage hash-aggregable and mergeable:
+    value distribution and one final task per group materializes it
+    (unbounded memory per group at 100 TB). The CDF form keeps every
+    stage hash-aggregable and mergeable:
 
-      1. ``groupBy(flag, price).count`` — classic partial/final hash agg,
-         shuffle carries one row per DISTINCT (flag, price);
-      2. running ``sum(cnt)`` window per flag over price order — the CDF;
-      3. the interpolation definition ``t=(n-1)q`` needs only the order
-         statistics at ranks ``floor(t)+1`` and ``floor(t)+2`` — 6 target
-         ranks per group, broadcast back against the CDF as an equi-join
-         on flag with a rank-range residual (one broadcast hash join, one
-         CDF scan for ALL quantiles at once);
-      4. re-pivot to one row per flag and linearly interpolate.
+      1. ``groupBy(key, val).count`` — classic partial/final hash agg;
+         the shuffle carries one row per DISTINCT (key, value);
+      2. running ``sum(cnt)`` window per key over value order — the CDF;
+      3. the interpolation definition ``t = (n-1)q`` needs only the order
+         statistics at ranks ``floor(t)+1`` and ``floor(t)+2``: 2·|q|
+         target ranks per group, broadcast back against the CDF as an
+         equi-join on key with a rank-range residual — one broadcast hash
+         join, one CDF scan for ALL quantiles at once;
+      4. re-pivot to one row per group and interpolate.
 
-    Matches DuckDB ``quantile_cont`` bit-for-bit (same definition as
-    ``percentile``); ~2x faster at sf0.1 and bounded-memory at scale. The
-    cheap approximate alternative remains ``approx_percentile`` (t-digest
-    sketch)."""
+    Same definition as Spark ``percentile`` / DuckDB ``quantile_cont`` /
+    ``numpy.percentile(method="linear")`` — property-tested against NumPy
+    in tests/test_extensions.py. Output: one row per group with columns
+    ``(key_col, n_rows, *quantiles.keys())``. ~2x faster than
+    ``percentile`` at sf0.1 and bounded-memory at any scale; the sketch
+    alternative for when exactness isn't required is ``approx_percentile``
+    (see ``lineitem_price_quantiles_approx``)."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem")
-    quantiles = [0.25, 0.50, 0.75]
-
     cdf = (
-        li.groupBy("l_returnflag", "l_extendedprice")
+        df.groupBy(key_col, val_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "cum",
-            F.sum("cnt").over(
-                W.partitionBy("l_returnflag").orderBy("l_extendedprice")
-            ),
+            F.sum("cnt").over(W.partitionBy(key_col).orderBy(val_col)),
         )
     )
-    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    n = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    qcol = F.explode(
+        F.array(*[F.lit(q) for q in quantiles.values()])
+    ).alias("q")
     ranks = (
-        n.select(
-            F.col("l_returnflag").alias("rf"),
-            "n_rows",
-            F.explode(F.array(*[F.lit(q) for q in quantiles])).alias("q"),
-        )
+        n.select(F.col(key_col).alias("_key"), "n_rows", qcol)
         .withColumn("t", (F.col("n_rows") - 1) * F.col("q"))
         .withColumn("i0", F.floor("t") + 1)
         .withColumn("i1", F.least(F.floor("t") + 2, F.col("n_rows")))
         .withColumn("frac", F.col("t") - F.floor("t"))
     )
     need = ranks.select(
-        "rf",
+        "_key",
         "q",
         "frac",
         "n_rows",
@@ -96,33 +112,51 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select(
-        "rf", "q", "frac", "n_rows",
+        "_key", "q", "frac", "n_rows",
         F.col("w.which").alias("which"), F.col("w.rank").alias("rank"),
     )
     # order statistic at rank r lives on the distinct-value row whose CDF
     # interval (cum-cnt, cum] contains r
     vals = cdf.join(
         F.broadcast(need),
-        (F.col("l_returnflag") == F.col("rf"))
+        (F.col(key_col) == F.col("_key"))
         & (F.col("rank") > F.col("cum") - F.col("cnt"))
         & (F.col("rank") <= F.col("cum")),
     ).select(
-        "rf", "q", "frac", "n_rows", "which",
-        F.col("l_extendedprice").alias("v"),
+        "_key", "q", "frac", "n_rows", "which",
+        F.col(val_col).alias("v"),
     )
     interpolated = (
-        vals.groupBy("rf", "q", "frac", "n_rows")
+        vals.groupBy("_key", "q", "frac", "n_rows")
         .agg(
             F.min(F.when(F.col("which") == 0, F.col("v"))).alias("v0"),
             F.max(F.when(F.col("which") == 1, F.col("v"))).alias("v1"),
         )
         .withColumn("val", F.col("v0") + F.col("frac") * (F.col("v1") - F.col("v0")))
     )
-    return interpolated.groupBy(F.col("rf").alias("l_returnflag")).agg(
+    return interpolated.groupBy(F.col("_key").alias(key_col)).agg(
         F.max("n_rows").alias("n_rows"),
-        F.min(F.when(F.col("q") == 0.25, F.col("val"))).alias("p25"),
-        F.min(F.when(F.col("q") == 0.50, F.col("val"))).alias("p50"),
-        F.min(F.when(F.col("q") == 0.75, F.col("val"))).alias("p75"),
+        *[
+            F.min(F.when(F.col("q") == q, F.col("val"))).alias(name)
+            for name, q in quantiles.items()
+        ],
+    )
+
+
+@query("lineitem_price_quantiles_approx")  # sketch — error-bound-tested
+def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale sketch path: ``approx_percentile`` (Greenwald-Khanna
+    style summary, mergeable constant-size partial state — the shuffle
+    carries sketches, not values). Rank error is bounded by 1/accuracy;
+    tests/test_extensions.py asserts the values land within the exact
+    p25/p75 envelope of their neighborhood."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10000),
+        ).alias("approx_quantiles"),
     )
 
 

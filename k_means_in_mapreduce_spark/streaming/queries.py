@@ -80,6 +80,27 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_range_error_click",
+    """
+    SELECT e.event_id AS error_event_id,
+           c.event_id AS click_event_id,
+           e.user_id,
+           CAST(date_diff('microsecond', e.ts, c.ts) AS DOUBLE) / 1000000.0
+               AS gap_sec
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts > e.ts
+     AND c.ts <= e.ts + INTERVAL 600 SECOND
+    """,
+)
+def stream_range_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join — must produce exactly the
+    batch range-join's rows (batch/stream equivalence on joins)."""
+    return W.stream_stream_error_click_join(spark, sf_dir)
+
+
+@query(
     "stream_kmeans_scoring",
     f"""WITH {_ASSIGN_CTE}
     SELECT cluster_id, count(*) AS num_points FROM assign GROUP BY cluster_id""",

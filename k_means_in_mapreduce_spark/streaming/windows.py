@@ -152,6 +152,55 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg)
 
 
+def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state: clicks within
+    10 minutes AFTER an error by the same user — the streaming twin of the
+    batch ``events_range_error_click`` (same oracle).
+
+    Both sides carry a watermark and the join condition bounds the event
+    times against each other, so Spark can expire join state: an error row
+    is dropped from state once the click-side watermark passes
+    error_ts + 10min, and vice versa. Without the time-range condition
+    state would grow unboundedly — this is THE correctness/scale contract
+    of stream-stream joins. Output mode must be append (join emits a row
+    exactly when both sides have arrived)."""
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("e_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") > F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 600 SECOND")),
+        "inner",
+    ).select(
+        "error_event_id",
+        "click_event_id",
+        F.col("e_user_id").alias("user_id"),
+        (F.col("c_ts").cast("double") - F.col("e_ts").cast("double")).alias(
+            "gap_sec"
+        ),
+    )
+    return _run_to_memory(joined, mode="append")
+
+
 def stream_kmeans_scoring(
     spark: SparkSession,
     sf_dir: str,

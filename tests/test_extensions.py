@@ -126,3 +126,112 @@ def test_hll_error_bound(spark):
     }
     for et, n in exact.items():
         assert abs(approx[et] - n) / n <= 0.05, (et, n, approx[et])
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [1.0],                      # single row: every quantile == the value
+        [1.0, 2.0],                 # n=2: pure interpolation
+        [5.0] * 20,                 # all-equal: duplicates collapse in the CDF
+        [1.0, 1.0, 2.0, 2.0, 3.0],  # heavy duplicates across rank boundaries
+        list(range(100)),           # uniform ramp
+        [2.0 ** i for i in range(20)],  # exponential spread
+    ],
+)
+def test_exact_quantiles_matches_numpy(spark, values):
+    """The distributed CDF quantile operator implements numpy's 'linear'
+    method exactly — including single-row groups, all-duplicate groups,
+    and rank boundaries landing inside duplicate runs."""
+    import numpy as np
+
+    from k_means_in_mapreduce_spark.operators.statistics import exact_quantiles
+
+    rows = [("g", float(v)) for v in values] + [("h", 42.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {
+        r["k"]: (r["q10"], r["q50"], r["q90"], r["n_rows"])
+        for r in exact_quantiles(
+            df, "k", "v", {"q10": 0.10, "q50": 0.50, "q90": 0.90}
+        ).collect()
+    }
+    want = np.percentile(np.array(values, dtype=float), [10, 50, 90],
+                         method="linear")
+    got = out["g"]
+    assert got[3] == len(values)
+    for g, w in zip(got[:3], want):
+        assert g == pytest.approx(w, rel=1e-12, abs=1e-12), (values, got, want)
+    assert out["h"] == (42.0, 42.0, 42.0, 1)
+
+
+def test_exact_quantiles_property(spark):
+    """Hypothesis: arbitrary finite float multisets (duplicates, negatives,
+    tiny and huge magnitudes) — one batched Spark check over all generated
+    groups, each verified against numpy."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from k_means_in_mapreduce_spark.operators.statistics import exact_quantiles
+
+    cases: list[list[float]] = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e12, max_value=1e12,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def collect(vs):
+        cases.append(vs)
+
+    collect()
+    rows = [(f"g{i}", float(v)) for i, vs in enumerate(cases) for v in vs]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    out = {
+        r["k"]: (r["q25"], r["q50"], r["q75"])
+        for r in exact_quantiles(
+            df, "k", "v", {"q25": 0.25, "q50": 0.50, "q75": 0.75}
+        ).collect()
+    }
+    assert len(out) == len(cases)
+    for i, vs in enumerate(cases):
+        want = np.percentile(np.array(vs, dtype=float), [25, 50, 75],
+                             method="linear")
+        for g, w in zip(out[f"g{i}"], want):
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-9), (i, vs)
+
+
+def test_approx_quantiles_error_bound(spark):
+    """approx_percentile(accuracy=10000) rank error <= n/accuracy: each
+    sketched quantile must fall between the exact quantiles one rank-error
+    step to either side."""
+    import numpy as np
+
+    from k_means_in_mapreduce_spark.operators.statistics import (
+        lineitem_price_quantiles_approx,
+    )
+
+    vals_by_flag = {}
+    for r in (
+        load_table(spark, SF0001, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        vals_by_flag.setdefault(r[0], []).append(r[1])
+    approx = {
+        r["l_returnflag"]: r["approx_quantiles"]
+        for r in lineitem_price_quantiles_approx(spark, SF0001).collect()
+    }
+    for flag, vals in vals_by_flag.items():
+        a = np.sort(np.array(vals))
+        n = len(a)
+        eps = max(1, n // 10000) / n  # rank-error fraction
+        for q, got in zip((0.25, 0.5, 0.75), approx[flag]):
+            lo = np.percentile(a, max(0.0, (q - eps)) * 100, method="linear")
+            hi = np.percentile(a, min(1.0, (q + eps)) * 100, method="linear")
+            assert lo <= got <= hi, (flag, q, got, lo, hi)
