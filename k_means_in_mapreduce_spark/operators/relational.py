@@ -505,3 +505,76 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: trailing 1-hour per-user totals
+# ---------------------------------------------------------------------------
+@query(
+    "events_trailing_hour_value",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_1h,
+           sum(value) OVER w AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): for each event,
+    totals over the same user's events in the trailing hour INCLUDING
+    time peers — semantics rowsBetween cannot express when timestamps
+    collide. Spark needs a numeric ordering for rangeBetween, so the
+    frame runs over epoch microseconds with a [-3.6e9, 0] bound; one
+    shuffle on user_id, sorted frames evaluated in a single pass."""
+    e = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("value").over(w).alias("value_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface: TPC-H Q6 forecast-revenue via spark.sql over a temp view
+# ---------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT count(*) AS n_items,
+           sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the SQL entry point (spark.sql over a temp view) —
+    the engine's textual-SQL surface; identical Catalyst plan to the
+    DataFrame form: all four predicates pushed to the parquet scan, one
+    scalar aggregate, no shuffle beyond the final single-row reduce."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqlview"
+    )
+    return spark.sql(
+        """
+        SELECT count(*) AS n_items,
+               sum(l_extendedprice * l_discount) AS revenue
+        FROM lineitem_sqlview
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )

@@ -131,6 +131,17 @@ def test_pipeline_single_shuffle(spark):
     assert count_exchanges(df) == 1, explain_string(df)
 
 
+def test_q6_sql_pushdown(spark):
+    """The textual-SQL entry point gets the same Catalyst treatment as the
+    DataFrame API: all of Q6's predicates reach the parquet scan."""
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF001)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    schema = read_schemas(df)[0]
+    assert "l_orderkey" not in schema, schema
+
+
 def test_run_report_shape(spark):
     from k_means_in_mapreduce_spark.operators import kmeans_df as K
     from k_means_in_mapreduce_spark.sources import load_table
