@@ -61,21 +61,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# State partitioning for the stateful queries in this module. Unlike batch
+# shuffles (AQE re-coalesces at runtime), a streaming query's state
+# partition count is pinned into its checkpoint at first start — real
+# deployments size it to stateful-key cardinality/throughput PER QUERY,
+# not from the session's batch shuffle default. 8 partitions comfortably
+# hold these queries' state (O(users) keys); a stream-stream join keeps 4
+# state stores per partition, so oversizing multiplies fixed per-store
+# per-batch cost (measured at sf0.1: 32 partitions -> 5.6 s, 8 -> 2.1 s
+# for the stream-stream join, identical results).
+STATE_PARTITIONS = 8
+
+
 def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion against a uniquely
     named memory sink; return the result as a static DataFrame."""
     name = f"stream_result_{next(_mem_counter)}"
-    q = (
-        agg.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # Materialize JVM-side and sever lineage from the (stopped) memory
     # sink: localCheckpoint keeps the rows as executor blocks — no
     # collect-to-Python round-trip (1.6 s for ~95k session rows at sf0.1,
