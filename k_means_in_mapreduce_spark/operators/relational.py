@@ -578,3 +578,41 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+@query(
+    "orders_above_twice_cust_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT 2 * avg(o2.o_totalprice)
+        FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def orders_above_twice_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders costing more than twice their
+    customer's average. Catalyst DECORRELATES this into one aggregate over
+    orders + an equi-join back on o_custkey — O(n) + one shuffle, never a
+    per-row subquery execution. Expressed through the SQL surface to
+    exercise that rewrite; the DataFrame equivalent is the explicit
+    groupBy + join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_sqlview"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sqlview o
+        WHERE o_totalprice > (
+            SELECT 2 * avg(o2.o_totalprice)
+            FROM orders_sqlview o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
