@@ -142,6 +142,33 @@ def test_q6_sql_pushdown(spark):
     assert "l_orderkey" not in schema, schema
 
 
+def test_dedup_exact_single_shuffle_on_digest(spark):
+    """Exact dedup: one exchange, keyed by the md5 digest — the document
+    body must not appear in the shuffle (exchange) side of the plan."""
+    df = registry.QUERIES["dedup_exact"](spark, SF001)
+    plan = explain_string(df)
+    assert count_exchanges(df) == 1, plan
+    # the scan reads only (doc_id, text); text is consumed by the partial
+    # aggregate below the exchange, so the exchange carries digest+partials
+    schema = read_schemas(df)[0]
+    assert "doc_id" in schema and "text" in schema and "lang" not in schema
+
+
+def test_text_ops_shuffle_free(spark):
+    """Per-document text analysis is a narrow map: zero exchanges."""
+    for name in ("text_token_stats", "text_quality", "text_langid",
+                 "text_fingerprint"):
+        df = registry.QUERIES[name](spark, SF001)
+        assert count_exchanges(df) == 0, (name, explain_string(df))
+
+
+def test_trailing_hour_single_shuffle(spark):
+    """RANGE-frame window: one exchange on user_id, frames evaluated in a
+    single sorted pass."""
+    df = registry.QUERIES["events_trailing_hour_value"](spark, SF001)
+    assert count_exchanges(df) == 1, explain_string(df)
+
+
 def test_run_report_shape(spark):
     from k_means_in_mapreduce_spark.operators import kmeans_df as K
     from k_means_in_mapreduce_spark.sources import load_table

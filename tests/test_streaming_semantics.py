@@ -91,3 +91,36 @@ def test_mllib_minhash_recall(spark):
     if exact:
         recall = len(exact & got) / len(exact)
         assert recall >= 0.8, (recall, len(exact), len(got))
+
+
+def test_rocksdb_state_store_same_results(spark):
+    """The at-scale state store (RocksDB: spillable, incremental
+    checkpoints — the production choice once state outgrows the
+    HDFS-backed in-memory map) produces byte-identical session windows.
+    The provider is a per-query conf read at stream start."""
+    from k_means_in_mapreduce_spark.streaming import windows as W
+
+    from .conftest import SF0001
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    baseline = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in W.stream_session_windows(spark, SF0001).collect()
+    }
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        got = {
+            (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+            for r in W.stream_session_windows(spark, SF0001).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == baseline
