@@ -198,3 +198,128 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_key",
         F.concat_ws(":", F.col("doc_id"), F.col("frame_idx")),
     )
+
+
+@query(
+    "multimodal_feature_extract",
+    """
+    WITH blobs AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                            WHEN 1 THEN 'audio'
+                                            ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1))
+                    ELSE 0 END AS b0
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, media_type,
+               list_transform(range(1, 9), i -> (n * i + 7 * b0) % 997) AS emb
+        FROM blobs
+    )
+    SELECT doc_id, media_type,
+           CAST(8 AS BIGINT) AS dim,
+           CAST(list_aggregate(list_transform(emb, x -> x * x), 'sum') AS BIGINT)
+               AS norm2,
+           CAST(list_aggregate(list_transform(range(1, 9),
+                    i -> i * emb[i]), 'sum') AS BIGINT) AS checksum
+    FROM feats
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage: blob -> fixed-width embedding inside an
+    Arrow-batched mapInPandas (a real pipeline swaps the deterministic
+    byte-arithmetic stand-in for a vision/audio encoder — same signature,
+    same batch shape). Integer features so the oracle compares exactly;
+    the summary scalars (norm2, checksum) pin every component without
+    shipping float arrays through the hash compare."""
+    m = media_blob_table(spark, sf_dir)
+
+    # Self-contained closure (shipped by value; workers lack this package).
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd  # noqa: F811
+
+        idx = np.arange(1, 9, dtype=np.int64)
+        for pdf in batches:
+            n = pdf["blob"].map(len).to_numpy(dtype=np.int64)
+            b0 = pdf["blob"].map(lambda b: b[0] if len(b) else 0).to_numpy(
+                dtype=np.int64
+            )
+            emb = (n[:, None] * idx[None, :] + 7 * b0[:, None]) % 997
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "dim": np.full(len(pdf), 8, dtype=np.int64),
+                    "norm2": (emb * emb).sum(axis=1),
+                    "checksum": (emb * idx[None, :]).sum(axis=1),
+                }
+            )
+
+    return m.mapInPandas(
+        extract,
+        schema=(
+            "doc_id bigint, media_type string, dim bigint, "
+            "norm2 bigint, checksum bigint"
+        ),
+    )
+
+
+@query(
+    "multimodal_resize_plan",
+    """
+    WITH imgs AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+    ),
+    dims AS (
+        SELECT doc_id,
+               16 + n % 1024 AS width,
+               16 + (n * 7) % 768 AS height
+        FROM imgs
+    )
+    SELECT doc_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+                     WHEN width >= height THEN 256
+                     ELSE greatest(1, (width * 256) // height) END AS BIGINT)
+               AS target_w,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+                     WHEN height > width THEN 256
+                     ELSE greatest(1, (height * 256) // width) END AS BIGINT)
+               AS target_h
+    FROM dims
+    """,
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image rows: longest-side-to-256 with aspect
+    preserved, computed over the decoded metadata with integer Catalyst
+    expressions — the cheap planning stage that decides work BEFORE
+    payload bytes move; the pixel resize itself would run next to the
+    decoder inside mapInPandas."""
+    decoded = multimodal_decode_meta(spark, sf_dir)
+    imgs = decoded.filter(F.col("media_type") == "image")
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    return imgs.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(longest <= 256, w)
+        .when(w >= h, F.lit(256))
+        .otherwise(
+            # integer `div`, not `/`: fp division + cast can round the
+            # wrong way on exact multiples; DuckDB's `//` is integer floor
+            F.greatest(F.lit(1), F.expr("(width * 256) div height"))
+        )
+        .cast("long")
+        .alias("target_w"),
+        F.when(longest <= 256, h)
+        .when(h > w, F.lit(256))
+        .otherwise(F.greatest(F.lit(1), F.expr("(height * 256) div width")))
+        .cast("long")
+        .alias("target_h"),
+    )
