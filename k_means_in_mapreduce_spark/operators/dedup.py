@@ -115,71 +115,105 @@ _JACCARD_SQL = f"""
 """
 
 
-@query("dedup_ngram_jaccard", _JACCARD_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-{3}-gram Jaccard near-dup pairs >= threshold via the
-    inverted index: group by shingle -> posting list -> emit in-list pairs.
+# Skew guard for exact-Jaccard candidate generation: shingles whose posting
+# list exceeds this document frequency are dropped from PAIR GENERATION
+# (never from scoring) — the standard stopword-shingle cut. A df-D shingle
+# emits O(D^2) candidate pairs, so one boilerplate shingle shared by 1e6
+# docs would emit 5e11 pairs from a single reducer; the cap bounds the
+# worst-case reducer to O(cap^2). Recall impact: a pair is missed only if
+# EVERY shingle it shares is hotter than the cap — near-dup pairs (>= 0.6
+# Jaccard) share most of their shingles, so they are recovered via any one
+# rare shingle; tests/test_dedup_similarity.py pins this with a synthetic
+# hot shingle. Scoring stays exact (array_intersect over full shingle
+# sets), so found pairs carry the true Jaccard either way.
+HOT_SHINGLE_DF_CAP = 1000
 
-    One wide pass instead of a self-join: the self-join form shuffles the
-    exploded (doc_id, shingle) relation twice (both join sides) and
-    recomputes the shingling for each, then shuffles again for the pair
-    count. Here shingles are first collapsed to 8-byte xxhash64 keys (the
-    shuffle never moves shingle text; 64-bit collisions are negligible at
-    catalog scale), posting lists are built with ONE groupBy, and sorted
-    in-list pairs are generated expression-side. Hot-shingle skew is still
-    quadratic in posting-list length — that is inherent to exact Jaccard;
-    the MinHash/LSH path below is the bounded-cost scale variant.
-    3.5x faster at sf0.1 (7.4s vs 26s)."""
-    sh = _shingled(spark, sf_dir)
-    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
-    # size(shingles)>0 filter that predicate-pushdown inlines into a
-    # re-evaluation of the whole shingling expression per row (measured
-    # 7.8s -> 0.9s for this stage at sf0.1). No row is actually empty
-    # (_shingled filters on token count), so the outer variant is
-    # value-identical.
-    # Carry each doc's shingle-set size in the posting entries so the
-    # final Jaccard needs NO join back to a sizes relation (and the
-    # shingling runs exactly once).
-    ex = sh.select(
+
+def jaccard_pairs(sh: DataFrame, df_cap: int = HOT_SHINGLE_DF_CAP) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs >= threshold, filter-verify
+    shape:
+
+    1. candidates — inverted index: group hashed shingles -> posting list
+       (ONE groupBy; shingles collapse to 8-byte xxhash64 keys so the
+       shuffle never moves shingle text; 64-bit collisions are negligible
+       at catalog scale), drop posting lists longer than ``df_cap`` (skew
+       guard, see HOT_SHINGLE_DF_CAP), emit sorted in-list pairs
+       expression-side.
+    2. verify — join the (small) distinct candidate set back to the
+       per-doc hashed shingle sets and compute the EXACT intersection
+       size with ``array_intersect``; candidates << corpus, so Spark
+       broadcasts the pair side and the verify joins add no shuffle of
+       the corpus.
+
+    The one-pass no-rejoin form this replaces counted n_common in the
+    pair groupBy — exact, but unguardable against hot-shingle blowup
+    (dropping a posting list would undercount n_common). Splitting
+    candidate-gen from scoring is what makes the cap lossless for values.
+    """
+    hashed = sh.select(
         "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode_outer("shingles").alias("s"),
-    ).select(F.struct("doc_id", "n").alias("e"), F.xxhash64("s").alias("h"))
-    postings = ex.groupBy("h").agg(
-        F.array_sort(F.collect_list("e")).alias("docs")  # sorts by doc_id
-    ).filter(F.size("docs") > 1)
+        F.array_sort(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("hs"),
+    ).cache()  # feeds candidate-gen + both verify sides: shingle ONCE
+    # explode_outer, NOT explode: InferFiltersFromGenerate would add a
+    # size()>0 filter that predicate-pushdown inlines into re-evaluating
+    # the whole shingling expression per row (measured 7.8s -> 0.9s for
+    # this stage at sf0.1). No row is actually empty (_shingled filters
+    # on token count), so the outer variant is value-identical.
+    ex = hashed.select("doc_id", F.explode_outer("hs").alias("h"))
+    postings = (
+        ex.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") > 1) & (F.size("docs") <= df_cap))
+    )
     # all ordered pairs (docs[i], docs[j]) with i < j, expression-side
-    pairs = postings.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "docs",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            "docs", i + F.lit(2), F.size("docs") - i - F.lit(1)
+    cand = (
+        postings.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "docs", i + F.lit(2), F.size("docs") - i - F.lit(1)
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
                         ),
-                        lambda y: F.struct(
-                            x["doc_id"].alias("doc_a"),
-                            x["n"].alias("na"),
-                            y["doc_id"].alias("doc_b"),
-                            y["n"].alias("nb"),
-                        ),
-                    ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.na", "p.doc_b", "p.nb")
-    pair_common = pairs.groupBy("doc_a", "na", "doc_b", "nb").agg(
-        F.count(F.lit(1)).alias("n_common")
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    jac = pair_common.withColumn(
-        "jaccard",
-        F.col("n_common").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("n_common")),
+    a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("ha") + F.size("hb") - F.col("n_common")),
+        )
     )
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
+    return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+@query("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs over documents (see
+    :func:`jaccard_pairs`). The oracle computes the uncapped all-pairs
+    truth; the df-cap only prunes candidate GENERATION, so results are
+    identical whenever no threshold pair depends solely on hot shingles
+    (pinned at sf0.01 by the driver gate)."""
+    return jaccard_pairs(_shingled(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -373,26 +407,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine near-dup pairs over embeddings — blocked matrix
-    product: the right side is L2-normalized once, broadcast as a dense
-    NumPy matrix, and each Arrow batch of the left side computes a
-    (batch x n) similarity block with one BLAS matmul, emitting only
-    pairs >= threshold.
+    """Exact cosine near-dup pairs over embeddings — storage-tiled block
+    nested loop: the left side streams as Arrow batches through
+    ``mapInPandas``; for each batch the task re-scans the right side
+    DIRECTLY FROM THE TABLE'S OWN PARQUET ROW GROUPS (executor-side
+    pyarrow read of the same storage path Spark scans), one row group at
+    a time, computing a (batch x row_group) similarity block with one
+    BLAS matmul and emitting only pairs >= threshold.
 
-    ~85x faster than the pairwise crossJoin+HOF-cosine form it replaces
-    (0.9s vs 74s at sf0.1 on local[32]). This is the standard exact
-    all-pairs layout at scale: tile the broadcast side when n·d exceeds
-    executor memory (the LSH paths in operators/similarity.py are the
-    sub-quadratic variants).
+    No driver materialization: the driver never holds the table (the r1
+    form ``collect()``-ed + broadcast it — a driver OOM at 100 TB). Peak
+    task memory is one Arrow batch + one row group + the (batch x rg)
+    score block, independent of n.
+
+    Tile sizing at scale: tile = parquet row group (~128 MB default), so
+    per-task working set ≈ maxRecordsPerBatch·d·8 + rg_rows·d·8 +
+    batch·rg_rows·8 bytes; total right-side IO = n_left_batches · |R|,
+    the inherent block-NLJ cost — amortize by raising
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` until the batch side
+    fills memory. On a cluster the path below is the table's shared-
+    storage URI (object store / HDFS), readable from every executor.
+    The LSH paths in operators/similarity.py are the sub-quadratic
+    escapes when even one full re-scan per left batch is too much.
     """
-    import numpy as np
+    import glob as _glob
+    import os
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Mn))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        files = sorted(
+            _glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+        )
+    else:
+        files = [src]
     thr = COSINE_THRESHOLD
 
     # Self-contained closure: cloudpickle ships it by value (executor
@@ -401,16 +449,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        ids_b, Bn = bc.value
+        import pyarrow.parquet as pq
+
         for pdf in batches:
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = Xn @ Bn.T
             va = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mask = (S >= thr) & (ids_b[None, :] > va[:, None])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"vec_a": va[ii], "vec_b": ids_b[jj], "cos_sim": S[ii, jj]}
+            out = []
+            for fpath in files:
+                pf = pq.ParquetFile(fpath)
+                for rg in range(pf.num_row_groups):
+                    tbl = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+                    ids_b = tbl.column("vec_id").to_numpy()
+                    emb = tbl.column("embedding").combine_chunks()
+                    B = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                        len(emb), -1
+                    )
+                    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                    S = Xn @ Bn.T
+                    mask = (S >= thr) & (ids_b[None, :] > va[:, None])
+                    ii, jj = np.nonzero(mask)
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": va[ii],
+                                "vec_b": ids_b[jj],
+                                "cos_sim": S[ii, jj],
+                            }
+                        )
+                    )
+            yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
             )
 
     return e.mapInPandas(block_sim, "vec_a bigint, vec_b bigint, cos_sim double")

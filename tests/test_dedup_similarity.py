@@ -62,6 +62,66 @@ def test_lsh_ann_recall(spark):
         assert abs(e[vid] - a[vid]) < 1e-12
 
 
+def test_hot_shingle_cap_bounds_pairs_keeps_scores_exact(spark):
+    """Synthetic hot shingle: every doc shares one boilerplate sentence
+    (df = n_docs, way over a cap of 3), plus two true near-dup pairs that
+    also share rare shingles. With the cap: the hot posting list must not
+    generate candidates, the true pairs must still be found via their
+    rare shingles, and their Jaccard values must be the EXACT uncapped
+    values (scoring sees the full shingle sets, cap or no cap)."""
+    import k_means_in_mapreduce_spark.operators.dedup as dd
+
+    boiler = "all rights reserved by the original author"
+    body_a = "the quick brown fox jumps over the lazy dog near the river"
+    body_b = "pack my box with five dozen liquor jugs for the long trip"
+    rows = []
+    for i in range(12):
+        filler = f"unique filler sentence number {i} with extra words {i * 7}"
+        rows.append((i, f"{boiler} {filler}"))
+    rows += [
+        # near-dup pairs (100, 101) and (200, 201): shared RARE body
+        (100, f"{boiler} {body_a}"),
+        (101, f"{boiler} {body_a}"),
+        (200, f"{boiler} {body_b}"),
+        (201, f"{boiler} {body_b} bonus"),
+        # (300, 301): identical docs made of ONLY the hot boilerplate —
+        # the one shape the cap sacrifices (no rare shingle to recover via)
+        (300, boiler),
+        (301, boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = (
+        docs.select("doc_id", dd.tokens("text").alias("toks"))
+        .filter(dd.F.size("toks") >= dd.NGRAM_N)
+        .select(
+            "doc_id",
+            dd.F.array_distinct(
+                dd.word_ngrams(dd.F.col("toks"), dd.NGRAM_N)
+            ).alias("shingles"),
+        )
+    )
+
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.jaccard_pairs(sh, df_cap=10**9).toPandas().itertuples()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.jaccard_pairs(sh, df_cap=3).toPandas().itertuples()
+    }
+    # true near-dups found either way, with identical EXACT scores (the
+    # cap prunes candidate generation, never the scoring sets)
+    assert (100, 101) in capped and (200, 201) in capped
+    for p in [(100, 101), (200, 201)]:
+        assert capped[p] == uncapped[p]
+    # the capped run manufactures nothing the uncapped truth lacks
+    assert set(capped) <= set(uncapped)
+    # documented recall impact: a pair sharing ONLY hot shingles is the
+    # one shape the cap drops
+    assert (300, 301) in uncapped and uncapped[(300, 301)] == 1.0
+    assert (300, 301) not in capped
+
+
 def test_exact_dedup_copies(spark):
     """At sf0.01 all docs are distinct; the operator must report exactly
     one copy per hash and as many hashes as docs."""

@@ -94,9 +94,53 @@ def test_embedding_cosine_no_join(spark):
     assert count_exchanges(df) == 0, plan
 
 
+def test_embedding_cosine_no_driver_materialization(spark, monkeypatch):
+    """The block-NLJ cosine must never pull the table through the driver:
+    building AND executing the query with DataFrame.collect() forbidden
+    still yields the full pair set (executor-side row-group scans only)."""
+    from pyspark.sql import DataFrame
+
+    def _no_collect(self):
+        raise AssertionError("driver-side collect() in dedup_embedding_cosine")
+
+    monkeypatch.setattr(DataFrame, "collect", _no_collect)
+    df = registry.QUERIES["dedup_embedding_cosine"](spark, SF001)
+    assert df.count() > 0
+
+
 def test_knn_join_broadcasts_query_side(spark):
     df = registry.QUERIES["ann_knn_join_exact"](spark, SF001)
     assert has_broadcast_join(df)
+
+
+def test_ivf_probe_partition_pruned_and_fit_once(spark, monkeypatch):
+    """The IVF probe must be a partition-pruned scan of the materialized
+    index (cell_id is a directory-level PartitionFilter), and a second
+    probe must reuse the index without re-fitting the quantizer."""
+    import re
+
+    from k_means_in_mapreduce_spark.operators import similarity as S
+
+    first = registry.QUERIES["ann_ivf_topk"](spark, SF001).collect()
+
+    # built artifacts exist -> a re-probe must never call fit again
+    from k_means_in_mapreduce_spark.operators import kmeans_df as KDF
+
+    def _no_fit(*a, **kw):
+        raise AssertionError("quantizer re-fit on probe")
+
+    monkeypatch.setattr(KDF, "fit", _no_fit)
+    df = registry.QUERIES["ann_ivf_topk"](spark, SF001)
+    assert [r.asDict() for r in df.collect()] == [r.asDict() for r in first]
+
+    plan = explain_string(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell_id" in m.group(1), plan
+
+    # cross-process path: a cleared memo must reload from disk, not re-fit
+    S._IVF_INDEX_CACHE.clear()
+    again = registry.QUERIES["ann_ivf_topk"](spark, SF001).collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in first]
 
 
 def test_partitioned_sink_prunes(spark):
