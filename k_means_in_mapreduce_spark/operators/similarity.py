@@ -136,42 +136,85 @@ def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16  # coarse-quantizer size
 IVF_PROBES = 6  # cells searched per query (6/16 of the data per probe)
 
+# In-process memo of built IVF indexes: sf_dir -> (centroids, index_path).
+# The on-disk artifact (centroids.json + cell_id-partitioned parquet) is the
+# cross-process cache: a fresh session reloads it without re-fitting.
+_IVF_INDEX_CACHE: dict[str, tuple[list[list[float]], str]] = {}
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]], str]:
+    """Build-once IVF-Flat index for an sf_dir: fit the seeded coarse
+    quantizer (the engine's own Arrow-path k-means), assign every vector
+    a cell, and write the assignments as parquet PARTITIONED BY cell_id
+    under ``.tmp/`` — the "index build once, probe many" artifact.
+
+    At 100 TB this is exactly the stored layout: cell id is the partition
+    key, so a probe of IVF_PROBES cells is a partition-pruned scan reading
+    IVF_PROBES/IVF_CELLS of the data (directory-level pruning, asserted in
+    tests/test_plans.py). The quantizer would train on a bounded seeded
+    sample (FAISS-style, ~30-256 vectors per cell); at testdata scale the
+    full set is that sample.
+    """
+    import json
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[key]
+
+    from ..sources.filesources import _scratch
+    from .kmeans_df import KMeansConfig, assign_clusters, fit
+
+    root = _scratch(sf_dir, "ivf_index")
+    cells_dir = os.path.join(root, "cells")
+    cent_file = os.path.join(root, "centroids.json")
+    if os.path.exists(cent_file) and os.path.exists(
+        os.path.join(cells_dir, "_SUCCESS")
+    ):
+        with open(cent_file) as fh:
+            centroids = json.load(fh)
+    else:
+        e = load_table(spark, sf_dir, "embeddings")
+        model = fit(
+            e,
+            KMeansConfig(k=IVF_CELLS, max_iter=5, tol=0.0, seed=7, method="arrow"),
+        )
+        centroids = [list(map(float, c)) for c in model.centroids]
+        (
+            assign_clusters(e, centroids)
+            .select("vec_id", "embedding", F.col("cluster_id").alias("cell_id"))
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(cells_dir)
+        )
+        os.makedirs(root, exist_ok=True)
+        tmp = cent_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(centroids, fh)
+        os.replace(tmp, cent_file)  # atomic: readers never see a torn file
+    _IVF_INDEX_CACHE[key] = (centroids, cells_dir)
+    return centroids, cells_dir
+
 
 @query("ann_ivf_topk")  # approximate — recall-tested vs the exact baseline
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a seeded k-means coarse quantizer
-    partitions the vectors into IVF_CELLS cells; a query probes only its
-    IVF_PROBES nearest cells and exactly re-ranks that slice by cosine.
-
-    This is the engine's own k-means (Arrow path) reused as an index
-    builder — the classic IVF-Flat layout. At 100 TB the cell id becomes
-    the partition key of the stored index, so each probe reads
-    IVF_PROBES/IVF_CELLS of the data; the scan below filters on the
-    cell-id column the same way.
-
-    At 100 TB the quantizer would train on a bounded seeded sample
-    (FAISS-style, ~30-256 vectors per cell) rather than the full set;
-    at the testdata scales (500-2000 vectors) the full set IS that
-    sample, so no sampling stage is added here.
-    """
-    from .kmeans_df import KMeansConfig, assign_clusters, fit
-
-    e = load_table(spark, sf_dir, "embeddings")
-    model = fit(
-        e, KMeansConfig(k=IVF_CELLS, max_iter=5, tol=0.0, seed=7, method="arrow")
-    )
+    """IVF (inverted-file) ANN probe: load the build-once index (fit is
+    skipped when the artifact exists — in-process memo or on-disk
+    centroids.json + partitioned cells), pick the query's IVF_PROBES
+    nearest cells driver-side (k small: O(k·d) scalar work), and exactly
+    re-rank only those cells' vectors by cosine via a partition-pruned
+    scan of the index."""
+    centroids, cells_dir = build_ivf_index(spark, sf_dir)
     qv = _query_vector(spark, sf_dir)
     # driver-side probe selection: distances from the query to all cells
-    d2 = [
-        sum((a - b) ** 2 for a, b in zip(qv, c)) for c in model.centroids
-    ]
+    d2 = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in centroids]
     probes = sorted(range(IVF_CELLS), key=lambda i: (d2[i], i))[:IVF_PROBES]
 
-    cells = assign_clusters(e, model.centroids)
+    idx = spark.read.parquet(cells_dir)
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        cells.filter(
-            F.col("cluster_id").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
+        idx.filter(
+            F.col("cell_id").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
         )
         .select("vec_id", cosine_similarity("embedding", qlit).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
