@@ -27,8 +27,10 @@ _OUT_SCHEMA = (
 )
 
 
-def running_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+def running_totals_agg(ev: DataFrame) -> DataFrame:
+    """The stateful per-user running-totals aggregation over any
+    (user_id, ts, value) stream — shared by the registered query and the
+    checkpoint stop/restart test (tests/test_streaming_semantics.py)."""
 
     # Self-contained closure: executor Python workers don't have this
     # package on sys.path, so no references to module globals.
@@ -55,13 +57,18 @@ def running_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    agg = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    agg = running_totals_agg(ev)
     out = _run_to_memory(agg, mode="update")
     # update-mode emits one row per key per batch that touched it; the
     # final state per user is the row with the highest n_events.

@@ -72,6 +72,76 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert emitted_2 == {T(9, 0): 2, T(10, 0): 1, T(11, 0): 1}, emitted_2
 
 
+def test_stateful_checkpoint_restart_preserves_state(spark, tmp_path):
+    """THE contract of applyInPandasWithState at scale: state survives a
+    query restart from the checkpoint. Run 1 processes file A and is
+    stopped; file B arrives; run 2 starts from the SAME checkpoint dir and
+    must emit totals that include run 1's state (batch equivalence over
+    A ∪ B), having read only B."""
+    from k_means_in_mapreduce_spark.streaming.stateful import (
+        running_totals_agg,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name: str, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/_stage")
+        part = [
+            f
+            for f in os.listdir(f"{src}/_stage")
+            if f.endswith(".parquet") and not f.startswith("_")
+        ][0]
+        shutil.copy(f"{src}/_stage/{part}", f"{src}/{name}")
+
+    T = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    file_a = [(u, T(u), 1.0) for u in range(5) for _ in range(2)]  # 2 ev/user
+    file_b = [(u, T(30 + u), 10.0) for u in range(3)]  # users 0-2 again
+    write_file("a.parquet", file_a)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .format("parquet")
+        .load(src)
+    )
+    emitted: list[dict] = []
+
+    def sink(batch_df, epoch_id):
+        emitted.extend(r.asDict() for r in batch_df.collect())
+
+    def run_once():
+        q = (
+            running_totals_agg(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # run 1: file A only
+    after_a = {r["user_id"]: r for r in emitted}
+    assert after_a[0]["n_events"] == 2 and after_a[0]["total_value"] == 2.0
+
+    write_file("b.parquet", file_b)
+    emitted.clear()
+    run_once()  # run 2: restart from checkpoint, reads only file B
+
+    after_b = {r["user_id"]: r for r in emitted}
+    # only users in file B are re-emitted (update mode)...
+    assert set(after_b) == {0, 1, 2}, after_b
+    # ...and their totals PROVE run 1's state was restored, not recomputed
+    for u in range(3):
+        assert after_b[u]["n_events"] == 3, after_b[u]
+        assert after_b[u]["total_value"] == 12.0, after_b[u]
+        assert after_b[u]["last_event_ts"] == T(30 + u)
+
+
 def test_mllib_minhash_recall(spark):
     """MLlib MinHashLSH path recovers the exact high-Jaccard pairs."""
     from k_means_in_mapreduce_spark.operators.dedup import (
@@ -91,6 +161,57 @@ def test_mllib_minhash_recall(spark):
     if exact:
         recall = len(exact & got) / len(exact)
         assert recall >= 0.8, (recall, len(exact), len(got))
+
+
+def test_ns_timestamp_truncation_matches_duckdb(spark, tmp_path):
+    """Pin the oracle-boundary semantics sources/tables.py relies on: for
+    parquet TIMESTAMP(NANOS) with sub-microsecond components, Spark's
+    nanosAsLong + integer ``div 1000`` truncation must yield exactly the
+    values DuckDB's parquet scan produces. A Spark upgrade that starts
+    reading ns natively (rounding instead of truncating) must fail here,
+    not silently skew every events oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from k_means_in_mapreduce_spark.sources import load_table
+
+    base = 1_704_103_200_000_000_000  # 2024-01-01 10:00:00 UTC in ns
+    nanos = [
+        base,  # exact second
+        base + 1,  # 1 ns past -> truncates down
+        base + 999,  # just below 1 µs
+        base + 1_000,  # exactly 1 µs
+        base + 999_999,  # just below 1 ms
+        base + 123_456_789,  # arbitrary sub-second
+        base + 999_999_999,  # just below the next second
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(nanos)), pa.int64()),
+            "ts": pa.array(nanos, pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, str(tmp_path), "events").collect()
+    }
+    con = duckdb.connect()
+    oracle = {
+        eid: ts
+        for eid, ts in con.sql(
+            f"SELECT event_id, ts FROM '{tmp_path}/events.parquet'"
+        ).fetchall()
+    }
+    con.close()
+    assert len(got) == len(nanos)
+    for eid, ns in enumerate(nanos):
+        assert got[eid] == oracle[eid], (eid, ns, got[eid], oracle[eid])
+        # and both equal floor(ns / 1000) µs
+        micros = got[eid].replace(tzinfo=dt.timezone.utc).timestamp()
+        assert round(micros * 1e6) == ns // 1000, (eid, ns, got[eid])
 
 
 def test_rocksdb_state_store_same_results(spark):
