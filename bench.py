@@ -102,6 +102,21 @@ def bench_kmeans_iteration(spark) -> dict:
             "sec_per_iter": wall / iters,
             "wall": wall,
         }
+
+    # Production path (MLlib KMeans, random init so iteration count is the
+    # comparable unit — k-means|| init would bill extra passes to iter 1;
+    # tol=0 runs exactly BENCH_ITERS Lloyd iterations like the paths above).
+    from k_means_in_mapreduce_spark.operators.kmeans_mllib import fit_mllib
+
+    t0 = time.monotonic()
+    res = fit_mllib(
+        pts, k=BENCH_K, max_iter=BENCH_ITERS, seed=42, tol=0.0,
+        init_mode="random",
+    )
+    wall = time.monotonic() - t0
+    iters = max(1, res.n_iter)
+    out["mllib"] = {"iterations": iters, "sec_per_iter": wall / iters, "wall": wall}
+
     pts.unpersist()
     return out
 
@@ -146,6 +161,7 @@ def main() -> None:
     km = bench_kmeans_iteration(spark)
     per_query["_kmeans_100k_per_iter_arrow"] = round(km["arrow"]["sec_per_iter"], 3)
     per_query["_kmeans_100k_per_iter_expr"] = round(km["expr"]["sec_per_iter"], 3)
+    per_query["_kmeans_100k_per_iter_mllib"] = round(km["mllib"]["sec_per_iter"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -161,6 +177,7 @@ def main() -> None:
                     "k": BENCH_K,
                     "iterations": km["arrow"]["iterations"],
                     "sec_per_iter_expr": round(km["expr"]["sec_per_iter"], 3),
+                    "sec_per_iter_mllib": round(km["mllib"]["sec_per_iter"], 3),
                     "total_wall_sec": round(
                         km["arrow"]["wall"] + km["expr"]["wall"], 3
                     ),

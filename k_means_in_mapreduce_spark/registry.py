@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from .operators import kmeans_df as K
 from .sources import load_table
-from .sources.text_points import format_points, parse_points_df
+from .sources.text_points import (
+    format_points,
+    parse_points,
+    parse_points_df,
+    write_points,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -250,6 +255,47 @@ def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("features").alias("dim"),
         (F.col("features") == F.col("embedding")).alias("roundtrip_ok"),
+    )
+
+
+@query(
+    "points_text_export_roundtrip",
+    f"""WITH {_ASSIGN_CTE},
+    means AS (
+        SELECT a.cluster_id, t.i AS i,
+               avg(CAST(e.embedding[t.i] AS DOUBLE)) AS m
+        FROM assign a
+        JOIN embeddings e USING (vec_id)
+        CROSS JOIN range(1, {DIM + 1}) t(i)
+        GROUP BY a.cluster_id, t.i
+    )
+    SELECT CAST(i - 1 AS INT) AS dim,
+           count(*) AS n_centroids,
+           sum(m) AS sum_val
+    FROM means GROUP BY dim""",
+)
+def points_text_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's RESULT egress end-to-end (S2, KMeans.java:148-150):
+    computed centroids -> ``write_points`` text sink ('<a, b>' lines,
+    Point.toString) -> re-ingest with the expression parser -> aggregate.
+    Exact because Spark's double->string cast is shortest-roundtrip
+    (Double.toString), so the parsed values equal the computed means
+    bit-for-bit and the oracle can skip the stringification."""
+    from .sources.filesources import _scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    cf = K.cluster_features(K.assign_clusters(emb, cents), DIM)
+    path = _scratch(sf_dir, "centroids_text")
+    write_points(cf, path, "centroid")
+    parsed = parse_points(spark, path)
+    return (
+        parsed.select(F.posexplode("features").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_centroids"),
+            F.sum("v").alias("sum_val"),
+        )
     )
 
 
