@@ -217,6 +217,94 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connected components over the near-dup pair graph (keeper selection)
+# ---------------------------------------------------------------------------
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    starts labeled with itself; each round a node takes the min of its own
+    and its neighbors' labels; converge when no label changes. Returns
+    (doc_id, component) where component = min doc_id reachable.
+
+    This is what turns near-dup PAIRS into dedup GROUPS (keeper = the
+    component id, i.e. lowest doc_id — the same deterministic keeper
+    policy as dedup_exact).
+
+    Scale shape: per round ONE join (labels onto the static symmetrized
+    edge list) + one min-groupBy — O(E) shuffle per round, rounds =
+    graph diameter. Near-dup components are short chains/cliques
+    (diameter ~2-4), so this settles in a handful of rounds; for
+    adversarially long paths the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) halves diameter per round — same join/agg
+    primitives, swap-in compatible. Each round ``localCheckpoint``s the
+    labels: the loop would otherwise double the plan depth per round and
+    choke the optimizer long before the data hurts.
+    """
+    und = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor = und.join(
+            labels, und["b"] == labels["node"]
+        ).select(und["a"].alias("node"), "label")
+        new_labels = (
+            neighbor.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE pairs AS ( {_JACCARD_SQL} ),
+    und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, peer) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT r.node, u.b FROM reach r JOIN und u ON r.peer = u.a
+    )
+    SELECT node AS doc_id, min(peer) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup groups: exact Jaccard pairs -> connected
+    components -> (doc_id, component). The oracle computes the same
+    components via a recursive-CTE transitive closure — exact parity
+    because both sides consume the identical deterministic pair set."""
+    pairs = jaccard_pairs(_shingled(spark, sf_dir)).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path; approximate -> recall-tested, not oracled)
 # ---------------------------------------------------------------------------
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:

@@ -36,6 +36,10 @@ ORACLES: dict[str, str] = {}
 PRIORITY_FIRST: list[str] = [
     # new this round (never checked)
     "points_text_export_roundtrip",
+    "dedup_connected_components",
+    "documents_hash_split",
+    "docs_chunk_for_training",
+    "decontaminate_ngram_overlap",
     # streaming (6)
     "stream_tumbling_hourly",
     "stream_sliding_quarter_hour",
@@ -311,6 +315,7 @@ from .operators import multimodal  # noqa: E402,F401
 from .operators import asof  # noqa: E402,F401
 from .operators import setops  # noqa: E402,F401
 from .operators import statistics  # noqa: E402,F401
+from .operators import curation  # noqa: E402,F401
 from .operators import skew  # noqa: E402,F401
 from .operators import pipeline  # noqa: E402,F401
 from .sources import filesources  # noqa: E402,F401

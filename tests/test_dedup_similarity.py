@@ -122,6 +122,31 @@ def test_hot_shingle_cap_bounds_pairs_keeps_scores_exact(spark):
     assert (300, 301) not in capped
 
 
+def test_connected_components_synthetic_graph(spark):
+    """Min-label propagation on a graph needing multiple rounds: a chain
+    0-1-2-3-4 (diameter 4), a separate triangle, and an isolated pair.
+    Every node must land on its component's minimum id."""
+    from k_means_in_mapreduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4),  # chain
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                        # pair
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }, got
+
+
 def test_exact_dedup_copies(spark):
     """At sf0.01 all docs are distinct; the operator must report exactly
     one copy per hash and as many hashes as docs."""

@@ -206,6 +206,22 @@ def test_text_ops_shuffle_free(spark):
         assert count_exchanges(df) == 0, (name, explain_string(df))
 
 
+def test_chunking_shuffle_free(spark):
+    """Token-window chunking is a narrow fan-out (tokenize -> sequence ->
+    slice): zero exchanges, no Python crossing."""
+    df = registry.QUERIES["docs_chunk_for_training"](spark, SF001)
+    plan = explain_string(df)
+    assert count_exchanges(df) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast — the corpus side never
+    shuffles for the join (only the final per-doc count aggregates)."""
+    df = registry.QUERIES["decontaminate_ngram_overlap"](spark, SF001)
+    assert has_broadcast_join(df), explain_string(df)
+
+
 def test_trailing_hour_single_shuffle(spark):
     """RANGE-frame window: one exchange on user_id, frames evaluated in a
     single sorted pass."""
