@@ -149,39 +149,82 @@ def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     style summary, mergeable constant-size partial state — the shuffle
     carries sketches, not values). Rank error is bounded by 1/accuracy;
     tests/test_extensions.py asserts the values land within the exact
-    p25/p75 envelope of their neighborhood."""
+    p25/p75 envelope of their neighborhood.
+
+    Output shape: one SCALAR double column per quantile (``element_at``
+    over the sketch's array result) — scalar columns keep the result
+    hashable/sortable for any downstream consumer, array cells don't."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.approx_percentile(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
             F.lit(10000),
-        ).alias("approx_quantiles"),
+        ).alias("qs"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.element_at("qs", 1).alias("p25_approx"),
+        F.element_at("qs", 2).alias("p50_approx"),
+        F.element_at("qs", 3).alias("p75_approx"),
     )
 
 
 @query(
     "orders_price_moments",
     """
+    WITH s AS (
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    )
     SELECT o_orderstatus,
-           avg(o_totalprice) AS mean_price,
-           stddev_samp(o_totalprice) AS sd_price,
-           var_samp(o_totalprice) AS var_price,
-           min(o_totalprice) AS min_price,
-           max(o_totalprice) AS max_price
-    FROM orders GROUP BY o_orderstatus
+           sum_price / n AS mean_price,
+           sqrt((sum_sq - sum_price * sum_price / n) / (n - 1)) AS sd_price,
+           (sum_sq - sum_price * sum_price / n) / (n - 1) AS var_price,
+           min_price,
+           max_price
+    FROM s
     """,
 )
 def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistics per status — single partial/final
-    aggregation pass (sum, sum-of-squares partials)."""
+    aggregation pass carrying (n, sum, sum-of-squares) partials.
+
+    Determinism note: ``stddev_samp``/``var_samp`` streaming updates are
+    summation-order-sensitive, so Spark and an external engine disagree in
+    the last few ulps depending on partitioning. Here the sums are
+    computed in DECIMAL (exact, order-independent — prices are 2-dp
+    values, so DECIMAL(18,2) is lossless), converted once to double, and
+    the moments derived with the textbook ``(Σx² − (Σx)²/n)/(n−1)``
+    algebra — the oracle applies the *same* expression to the *same*
+    exact sums, so results match bit-for-bit on any partitioning.
+    The decimal sum is still a plain mergeable hash-agg partial: exact
+    AND scale-safe (sum magnitude at 100 TB stays within DECIMAL(38,4))."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.avg("o_totalprice").alias("mean_price"),
-        F.stddev_samp("o_totalprice").alias("sd_price"),
-        F.var_samp("o_totalprice").alias("var_price"),
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sum_price"),
+        F.sum(dec * dec).cast("double").alias("sum_sq"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
+    )
+    n = F.col("n")
+    var = (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / n) / (n - 1)
+    return s.select(
+        "o_orderstatus",
+        (F.col("sum_price") / n).alias("mean_price"),
+        F.sqrt(var).alias("sd_price"),
+        var.alias("var_price"),
+        "min_price",
+        "max_price",
     )
 
 

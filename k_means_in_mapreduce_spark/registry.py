@@ -29,43 +29,54 @@ from .sources.text_points import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-# The driver's correctness gate checks a bounded window of queries (r1 checked
-# exactly 50 of 72, in registration order).  Queries with no CORRECTNESS_r01
-# row are listed here so ``ordered_queries()`` puts them first in r2: the
-# union of r1+r2 rows then covers the whole registry.
+# The driver's correctness gate checks a bounded window of ~50 queries per
+# round, in registration order.  ``ordered_queries()`` therefore leads with
+# the queries whose CURRENT implementation has never produced a CORRECTNESS
+# row: (a) queries fixed or added this round, (b) queries whose code was
+# rewritten AFTER their last green row (round-2 rewrote the dedup/ann family
+# after its r1 rows — re-gate it with the current code), then (c) queries
+# whose only row predates round 2 (unchanged, but re-confirmed while window
+# budget allows).  Previously green-and-unchanged queries backfill last.
 PRIORITY_FIRST: list[str] = [
-    # new this round (never checked)
-    "points_text_export_roundtrip",
-    "dedup_connected_components",
-    "documents_hash_split",
-    "docs_chunk_for_training",
-    "decontaminate_ngram_overlap",
-    # streaming (6)
-    "stream_tumbling_hourly",
-    "stream_sliding_quarter_hour",
-    "stream_session_windows",
-    "stream_range_error_click",
-    "stream_kmeans_scoring",
-    "stream_user_running_totals",
-    # file formats (6)
-    "csv_roundtrip_orders_by_status",
-    "json_roundtrip_events_daily",
-    "partitioned_sink_pruned_scan",
-    "orc_roundtrip_lineitem_status",
-    "bucketed_join_segment_revenue",
-    "text_points_ingest",
-    # statistics / sketches (6)
-    "lineitem_price_quantiles",
+    # fixed this round (r2 rows were ERR / hash-FAIL)
     "lineitem_price_quantiles_approx",
     "orders_price_moments",
-    "events_distinct_users",
-    "events_distinct_users_hll",
-    "events_props_extract",
-    # cube / grouping sets / skew / pipeline
-    "cube_lineitem_flags",
-    "grouping_sets_orders",
-    "events_salted_type_totals",
-    "pipeline_training_corpus",
+    "bucketed_join_segment_revenue",
+    # new this round (never checked)
+    "ann_ivf_knn_join",
+    "kmeans_fit_df",
+    "kmeans_fit_mllib",
+    "kmeans_fit_bisecting",
+    "kmeans_fit_gmm",
+    # rewritten in round 2 AFTER their r1 rows — current code never gate-checked
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_mllib",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "ann_knn_join_exact",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    # only r1 rows (unchanged code; re-confirm)
+    "events_trailing_hour_value",
+    "q6_forecast_revenue",
+    "orders_above_twice_cust_avg",
+    "text_token_stats",
+    "text_quality",
+    "text_fingerprint",
+    "text_langid",
+    "multimodal_meta",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "multimodal_resize_plan",
+    "events_asof_last_purchase",
+    "events_range_error_click",
+    "orderkeys_open_or_returned",
+    "custkeys_active_both_years",
+    "custkeys_churned_after_1995",
 ]
 
 
@@ -190,61 +201,80 @@ def kmeans_cf_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_fit_df")  # iterative — rows-only check (SURVEY §5.2.2 covers it)
+def _fit_invariants(assigned: DataFrame, k: int) -> DataFrame:
+    """Driver-checkable invariant summary of an iterative clustering fit.
+
+    A seeded fit's per-cluster sizes are deterministic but not
+    SQL-derivable (the oracle would have to run Lloyd's loop), so a
+    sizes-shaped result can only get a weak rows-only check.  These
+    columns ARE oracle-predictable and bind rows+schema+hash:
+    every point assigned exactly once (n_points == table count), all k
+    clusters non-empty (C4 empty-cluster re-init / §2.11), and cluster
+    ids exactly 0..k-1 (index integrity, reference C5 KMeans.java:252-257).
+    The seed-determined size multiset itself is pinned by golden-seed
+    tests in tests/test_kmeans.py."""
+    return assigned.agg(
+        F.countDistinct("cluster_id").cast("int").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("cluster_id").cast("int").alias("min_cluster_id"),
+        F.max("cluster_id").cast("int").alias("max_cluster_id"),
+    ).select(F.lit(k).alias("k"), "*")
+
+
+def _fit_invariants_oracle(k: int) -> str:
+    return f"""
+    SELECT CAST({k} AS INT) AS k, CAST({k} AS INT) AS n_clusters,
+           count(*) AS n_points, CAST(0 AS INT) AS min_cluster_id,
+           CAST({k - 1} AS INT) AS max_cluster_id
+    FROM embeddings
+    """
+
+
+@query("kmeans_fit_df", _fit_invariants_oracle(10))
 def kmeans_fit_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full seeded Lloyd loop, reference-exact semantics; returns the final
-    (cluster_id, num_points, size-weighted centroid norm) summary."""
+    """Full seeded Lloyd loop, reference-exact semantics; returns the
+    oracle-checkable fit invariants (see ``_fit_invariants``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     model = K.fit(
         emb,
         K.KMeansConfig(k=10, max_iter=10, tol=1e-3, seed=42, method="arrow"),
     )
-    final = K.assign_clusters(emb, model.centroids).groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("num_points")
-    )
-    return final
+    return _fit_invariants(K.assign_clusters(emb, model.centroids), k=10)
 
 
-@query("kmeans_fit_mllib")  # iterative — rows-only check
+@query("kmeans_fit_mllib", _fit_invariants_oracle(10))
 def kmeans_fit_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.kmeans_mllib import fit_mllib, transform_mllib
 
     emb = load_table(spark, sf_dir, "embeddings")
     result = fit_mllib(emb, k=10, max_iter=10, seed=42)
-    return (
-        transform_mllib(result, emb)
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("num_points"))
-    )
+    return _fit_invariants(transform_mllib(result, emb), k=10)
 
 
-@query("kmeans_fit_bisecting")  # iterative — rows-only check
+@query("kmeans_fit_bisecting", _fit_invariants_oracle(8))
 def kmeans_fit_bisecting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BisectingKMeans cluster sizes (clustering beyond Lloyd, §2.12)."""
+    """BisectingKMeans fit invariants (clustering beyond Lloyd, §2.12)."""
     from .operators.kmeans_mllib import fit_bisecting
 
     emb = load_table(spark, sf_dir, "embeddings")
     model, vec = fit_bisecting(emb, k=8, max_iter=10, seed=42)
-    return (
-        model.transform(vec)
-        .groupBy(F.col("prediction").alias("cluster_id"))
-        .agg(F.count(F.lit(1)).alias("num_points"))
+    return _fit_invariants(
+        model.transform(vec).select(F.col("prediction").alias("cluster_id")),
+        k=8,
     )
 
 
-@query("kmeans_fit_gmm")  # iterative — rows-only check
+@query("kmeans_fit_gmm", _fit_invariants_oracle(4))
 def kmeans_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GaussianMixture responsibilities summary (soft clustering)."""
+    """GaussianMixture fit invariants (soft clustering; hard-assignment
+    view via ``prediction``)."""
     from .operators.kmeans_mllib import fit_gmm
 
     emb = load_table(spark, sf_dir, "embeddings")
     model, vec = fit_gmm(emb, k=4, max_iter=10, seed=42)
-    return (
-        model.transform(vec)
-        .groupBy(F.col("prediction").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).alias("num_points"),
-        )
+    return _fit_invariants(
+        model.transform(vec).select(F.col("prediction").alias("cluster_id")),
+        k=4,
     )
 
 

@@ -171,7 +171,7 @@ def orc_roundtrip_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     SELECT c_mktsegment,
            count(*) AS n_orders,
-           sum(o_totalprice) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c_mktsegment
     """,
@@ -188,27 +188,36 @@ def bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     shuffle once at write time, amortize it over every subsequent join on
     that key. The MERGE hint keeps Catalyst from broadcasting the small
     local-test side, which would hide the bucketing (on the 100 TB target
-    neither side broadcasts)."""
+    neither side broadcasts).
+
+    The bucketed copies are dropped and rewritten from the source parquet
+    on every call: a catalog/path entry surviving from an earlier session
+    could silently serve data written from OLDER source files (a real
+    production deployment would fingerprint the source instead — see
+    ``operators/similarity.py:build_ivf_index`` for that pattern; here the
+    write is cheap and determinism wins). The revenue sum runs in DECIMAL
+    (exact, order-independent — prices are 2-dp) so the result does not
+    depend on merge-join row order."""
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").replace("-", "_")
     names = {}
     for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
         name = f"bkt_{tbl}{tag}"
         names[tbl] = name
-        if not spark.catalog.tableExists(name):
-            (
-                load_table(spark, sf_dir, tbl)
-                .write.mode("overwrite")
-                .option("path", _scratch(sf_dir, f"bkt_{tbl}"))
-                .bucketBy(8, key)
-                .sortBy(key)
-                .saveAsTable(name)
-            )
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .option("path", _scratch(sf_dir, f"bkt_{tbl}"))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
     c = spark.table(names["customer"])
     o = spark.table(names["orders"])
     joined = c.hint("merge").join(o, o.o_custkey == c.c_custkey)
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
 
 

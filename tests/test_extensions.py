@@ -224,7 +224,7 @@ def test_approx_quantiles_error_bound(spark):
     ):
         vals_by_flag.setdefault(r[0], []).append(r[1])
     approx = {
-        r["l_returnflag"]: r["approx_quantiles"]
+        r["l_returnflag"]: [r["p25_approx"], r["p50_approx"], r["p75_approx"]]
         for r in lineitem_price_quantiles_approx(spark, SF0001).collect()
     }
     for flag, vals in vals_by_flag.items():
