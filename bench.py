@@ -164,30 +164,35 @@ def main() -> None:
     per_query["_kmeans_100k_per_iter_mllib"] = round(km["mllib"]["sec_per_iter"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "kmeans_sec_per_iteration_n100k",
-                "value": round(km["arrow"]["sec_per_iter"], 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "kmeans": {
-                    "n": km["n"],
-                    "k": BENCH_K,
-                    "iterations": km["arrow"]["iterations"],
-                    "sec_per_iter_expr": round(km["expr"]["sec_per_iter"], 3),
-                    "sec_per_iter_mllib": round(km["mllib"]["sec_per_iter"], 3),
-                    "total_wall_sec": round(
-                        km["arrow"]["wall"] + km["expr"]["wall"], 3
-                    ),
-                },
-                "total_query_sec": round(
-                    sum(v for v in per_query.values() if v > 0), 3
-                ),
-            }
-        )
-    )
+    result = {
+        "metric": "kmeans_sec_per_iteration_n100k",
+        "value": round(km["arrow"]["sec_per_iter"], 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kmeans": {
+            "n": km["n"],
+            "k": BENCH_K,
+            "iterations": km["arrow"]["iterations"],
+            "sec_per_iter_expr": round(km["expr"]["sec_per_iter"], 3),
+            "sec_per_iter_mllib": round(km["mllib"]["sec_per_iter"], 3),
+            "total_wall_sec": round(
+                km["arrow"]["wall"] + km["expr"]["wall"], 3
+            ),
+        },
+        "total_query_sec": round(
+            sum(v for v in per_query.values() if v > 0), 3
+        ),
+    }
+    print(json.dumps(result))
+    # Also persist the full dict: the driver's stdout capture truncates
+    # long lines, which silently dropped the per-query tail in BENCH_r02.
+    # .benchmarks/ is the on-disk record used for round-over-round diffs.
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    os.makedirs(outdir, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    with open(os.path.join(outdir, f"bench_{stamp}_sf{sf}.json"), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
     spark.stop()
 
 

@@ -87,6 +87,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup (the oracle-checkable baseline)
 # ---------------------------------------------------------------------------
+# Skew guard for exact-Jaccard candidate generation: shingles whose posting
+# list exceeds this document frequency are dropped from PAIR GENERATION
+# (never from scoring) — the standard stopword-shingle cut. A df-D shingle
+# emits O(D^2) candidate pairs, so one boilerplate shingle shared by 1e6
+# docs would emit 5e11 pairs from a single reducer; the cap bounds the
+# worst-case reducer to O(cap^2). Recall impact: a pair is missed only if
+# EVERY shingle it shares is hotter than the cap — near-dup pairs (>= 0.6
+# Jaccard) share most of their shingles, so they are recovered via any one
+# rare shingle; tests/test_dedup_similarity.py pins this with a synthetic
+# hot shingle. Scoring stays exact (array_intersect over full shingle
+# sets), so found pairs carry the true Jaccard either way.
+HOT_SHINGLE_DF_CAP = 1000
+
+# NOTE: the oracle mirrors the engine's df-cap (HOT_SHINGLE_DF_CAP)
+# in candidate GENERATION — only pairs sharing at least one shingle with
+# document frequency <= cap are candidates — while scoring stays exact over
+# the full shingle sets, exactly like the Spark filter-verify pipeline.
+# Without the mirror the oracle computes the uncapped truth and diverges at
+# any scale factor where some shingle's df exceeds the cap.
 _JACCARD_SQL = f"""
     WITH sh AS (
         SELECT doc_id,
@@ -100,10 +119,20 @@ _JACCARD_SQL = f"""
         WHERE len(toks) >= {NGRAM_N}
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    sdf AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a
+        JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN sdf ON sdf.s = a.s
+        WHERE sdf.df <= {HOT_SHINGLE_DF_CAP}
+    ),
     pair_common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY doc_a, doc_b
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN ex a ON a.doc_id = c.doc_a
+        JOIN ex b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
     ),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
     SELECT p.doc_a, p.doc_b,
@@ -113,20 +142,6 @@ _JACCARD_SQL = f"""
     JOIN sizes sb ON sb.doc_id = p.doc_b
     WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= {JACCARD_THRESHOLD}
 """
-
-
-# Skew guard for exact-Jaccard candidate generation: shingles whose posting
-# list exceeds this document frequency are dropped from PAIR GENERATION
-# (never from scoring) — the standard stopword-shingle cut. A df-D shingle
-# emits O(D^2) candidate pairs, so one boilerplate shingle shared by 1e6
-# docs would emit 5e11 pairs from a single reducer; the cap bounds the
-# worst-case reducer to O(cap^2). Recall impact: a pair is missed only if
-# EVERY shingle it shares is hotter than the cap — near-dup pairs (>= 0.6
-# Jaccard) share most of their shingles, so they are recovered via any one
-# rare shingle; tests/test_dedup_similarity.py pins this with a synthetic
-# hot shingle. Scoring stays exact (array_intersect over full shingle
-# sets), so found pairs carry the true Jaccard either way.
-HOT_SHINGLE_DF_CAP = 1000
 
 
 def jaccard_pairs(sh: DataFrame, df_cap: int = HOT_SHINGLE_DF_CAP) -> DataFrame:
@@ -150,12 +165,18 @@ def jaccard_pairs(sh: DataFrame, df_cap: int = HOT_SHINGLE_DF_CAP) -> DataFrame:
     (dropping a posting list would undercount n_common). Splitting
     candidate-gen from scoring is what makes the cap lossless for values.
     """
+    # Feeds candidate-gen + both verify sides: shingle ONCE.
+    # localCheckpoint (not cache): materializes eagerly, truncates lineage,
+    # and its storage is released when this DataFrame is GC'd — a cache()
+    # here leaked pinned blocks for the session lifetime because callers
+    # never saw the handle to unpersist (each registered query builds its
+    # own pipeline, so leaks accumulated per invocation).
     hashed = sh.select(
         "doc_id",
         F.array_sort(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("hs"),
-    ).cache()  # feeds candidate-gen + both verify sides: shingle ONCE
+    ).localCheckpoint(eager=True)
     # explode_outer, NOT explode: InferFiltersFromGenerate would add a
     # size()>0 filter that predicate-pushdown inlines into re-evaluating
     # the whole shingling expression per row (measured 7.8s -> 0.9s for
@@ -209,10 +230,12 @@ def jaccard_pairs(sh: DataFrame, df_cap: int = HOT_SHINGLE_DF_CAP) -> DataFrame:
 @query("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs over documents (see
-    :func:`jaccard_pairs`). The oracle computes the uncapped all-pairs
-    truth; the df-cap only prunes candidate GENERATION, so results are
-    identical whenever no threshold pair depends solely on hot shingles
-    (pinned at sf0.01 by the driver gate)."""
+    :func:`jaccard_pairs`). The oracle mirrors the df-cap in candidate
+    generation and scores exactly over full shingle sets — the same
+    filter-verify semantics — so engine and oracle agree at ANY scale
+    factor, including ones where boilerplate shingles exceed the cap.
+    The cap's recall trade-off itself is pinned by the synthetic
+    hot-shingle test in tests/test_dedup_similarity.py."""
     return jaccard_pairs(_shingled(spark, sf_dir))
 
 
@@ -253,6 +276,7 @@ def connected_components(
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor = und.join(
             labels, und["b"] == labels["node"]
@@ -272,6 +296,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Exiting via max_iter with labels still moving would silently
+        # return SPLIT components (wrong groups). Near-dup graphs have
+        # diameter ~2-4, so hitting this means an adversarial long chain:
+        # fail loudly; the large-star/small-star variant (see docstring)
+        # is the diameter escape if such graphs become real.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); graph diameter exceeds "
+            "max_iter — raise max_iter or switch to large-star/small-star"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
@@ -336,7 +371,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band-hash), estimate Jaccard as matching-minhash fraction, keep
     pairs >= threshold."""
     sh = _shingled(spark, sf_dir)
-    sigs = minhash_signatures(sh).cache()
+    # localCheckpoint, not cache — same leak rationale as jaccard_pairs
+    sigs = minhash_signatures(sh).localCheckpoint(eager=True)
     rows_per_band = NUM_PERM // LSH_BANDS
     bands = sigs.select(
         "doc_id",

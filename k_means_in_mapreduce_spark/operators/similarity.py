@@ -136,10 +136,30 @@ def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16  # coarse-quantizer size
 IVF_PROBES = 6  # cells searched per query (6/16 of the data per probe)
 
-# In-process memo of built IVF indexes: sf_dir -> (centroids, index_path).
+# In-process memo of built IVF indexes:
+# abspath(sf_dir) -> (source fingerprint, centroids, index_path).
 # The on-disk artifact (centroids.json + cell_id-partitioned parquet) is the
 # cross-process cache: a fresh session reloads it without re-fitting.
-_IVF_INDEX_CACHE: dict[str, tuple[list[list[float]], str]] = {}
+_IVF_INDEX_CACHE: dict[str, tuple[str, list[list[float]], str]] = {}
+
+
+def _source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir: name+size+mtime of
+    every data file. Regenerated source data -> different fingerprint ->
+    stale index artifacts are rebuilt instead of silently reused."""
+    import hashlib
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for dirpath, _, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(dirpath, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]], str]:
@@ -154,26 +174,39 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
     tests/test_plans.py). The quantizer would train on a bounded seeded
     sample (FAISS-style, ~30-256 vectors per cell); at testdata scale the
     full set is that sample.
+
+    Reuse is keyed on a content fingerprint of ``embeddings.parquet``
+    (stored inside centroids.json): if the source is regenerated, both the
+    on-disk artifact and the in-process memo are invalidated and the index
+    is rebuilt. ``centroids.json`` is swapped in atomically AFTER the cell
+    parquet finishes, so a concurrent reader either sees a complete
+    matching artifact or rebuilds.
     """
     import json
     import os
 
-    key = os.path.abspath(sf_dir)
-    if key in _IVF_INDEX_CACHE:
-        return _IVF_INDEX_CACHE[key]
-
     from ..sources.filesources import _scratch
     from .kmeans_df import KMeansConfig, assign_clusters, fit
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = _source_fingerprint(src)
+    key = os.path.abspath(sf_dir)
+    hit = _IVF_INDEX_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1], hit[2]
 
     root = _scratch(sf_dir, "ivf_index")
     cells_dir = os.path.join(root, "cells")
     cent_file = os.path.join(root, "centroids.json")
+    centroids = None
     if os.path.exists(cent_file) and os.path.exists(
         os.path.join(cells_dir, "_SUCCESS")
     ):
         with open(cent_file) as fh:
-            centroids = json.load(fh)
-    else:
+            meta = json.load(fh)
+        if isinstance(meta, dict) and meta.get("fingerprint") == fp:
+            centroids = meta["centroids"]
+    if centroids is None:
         e = load_table(spark, sf_dir, "embeddings")
         model = fit(
             e,
@@ -190,9 +223,9 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
         os.makedirs(root, exist_ok=True)
         tmp = cent_file + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(centroids, fh)
+            json.dump({"fingerprint": fp, "centroids": centroids}, fh)
         os.replace(tmp, cent_file)  # atomic: readers never see a torn file
-    _IVF_INDEX_CACHE[key] = (centroids, cells_dir)
+    _IVF_INDEX_CACHE[key] = (fp, centroids, cells_dir)
     return centroids, cells_dir
 
 
@@ -219,6 +252,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cosine_similarity("embedding", qlit).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(TOP_K)
+    )
+
+
+def probe_cells_expr(qe, centroids: list[list[float]], n_probes: int):
+    """Per-row probe-cell selection as a NARROW map expression: squared
+    distance from the query vector to every coarse centroid (k×d plan
+    literal), then the ``n_probes`` nearest cell ids via sort of the
+    (distance, cell) pairs — lowest cell id breaks distance ties. No
+    shuffle, no driver collect: scales to any number of query rows."""
+    from ..functions.vector import distance_vector
+
+    dists = distance_vector(qe, centroids)
+    pairs = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("cell_id")),
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probes), lambda s: s["cell_id"]
+    )
+
+
+@query("ann_ivf_knn_join")  # approximate — recall-tested vs ann_knn_join_exact
+def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF k-NN join — the shape a 100 TB similarity-search pass
+    actually runs (``ann_knn_join_exact``'s crossJoin is the test oracle,
+    not the production path).
+
+    Per query row: pick the IVF_PROBES nearest coarse cells with a narrow
+    map (``probe_cells_expr`` — no driver round-trip, unlike the
+    single-query ``ann_ivf_topk`` which may do O(k·d) scalar work
+    driver-side), explode to (qid, qe, cell_id) probe rows, hash-join
+    against the cell_id-partitioned index, and keep the per-query top-k
+    by cosine via a window.
+
+    Scale shape: the probe side is |Q|·IVF_PROBES rows — broadcast for any
+    realistic query batch; the index side never shuffles (the join key IS
+    its partition key) and the broadcast join triggers Spark's dynamic
+    partition pruning, so only probed cell directories are read
+    (asserted in tests/test_plans.py). Work per query ≈
+    IVF_PROBES/IVF_CELLS of a full scan, exactly the IVF contract."""
+    centroids, cells_dir = build_ivf_index(spark, sf_dir)
+    idx = spark.read.parquet(cells_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    probes = q.select(
+        "qid",
+        "qe",
+        F.explode(probe_cells_expr("qe", centroids, IVF_PROBES)).alias("cell_id"),
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine_similarity("embedding", "qe").alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vec_id", "cos_sim", "rk")
     )
 
 

@@ -44,6 +44,8 @@ PRIORITY_FIRST: list[str] = [
     "bucketed_join_segment_revenue",
     # new this round (never checked)
     "ann_ivf_knn_join",
+    "points_random_uniform",
+    "points_text_roundtrip",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",
@@ -278,10 +280,21 @@ def kmeans_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("points_text_roundtrip")  # string formatting is engine-specific — rows-only
+@query(
+    "points_text_roundtrip",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           true AS roundtrip_ok
+    FROM embeddings
+    """,
+)
 def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference text format fidelity: embedding -> '<a, b>' -> parse ->
-    verify identity (S3/F5). Returns per-row roundtrip status."""
+    verify identity (S3/F5). Returns per-row roundtrip status; the oracle
+    pins the strongest claim — EVERY row roundtrips bit-exactly (Spark's
+    double->string cast is shortest-roundtrip, Double.toString semantics)
+    — so a single flipped value fails the gate hash."""
     emb = load_table(spark, sf_dir, "embeddings")
     formatted = format_points(emb, "embedding")
     parsed = parse_points_df(formatted, "point_str")
@@ -290,6 +303,58 @@ def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("dim"),
         (F.col("features") == F.col("embedding")).alias("roundtrip_ok"),
     )
+
+
+# F7 (reference Point.java:78-94): k random points uniform in [0.0, 5.0)^d.
+# Dead code in the reference's main flow (random-position init was rejected,
+# Documentation CC.pdf §2.0.1) but part of its declared surface — closed here
+# with a DETERMINISTIC seeded generator: the reference's unseeded
+# ``Math.random()`` is the one behavior we deliberately do not reproduce
+# (SURVEY §2.11), and a plain-arithmetic LCG makes the generator
+# oracle-expressible (identical integer algebra in Spark and SQL), unlike
+# ``F.rand`` whose stream depends on partition layout. Long form
+# (point_id, dim, val) keeps the gate comparing scalars.
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+_RAND_N, _RAND_LO, _RAND_HI = 10, 0.0, 5.0
+
+
+def random_uniform_points(
+    spark: SparkSession,
+    n: int = _RAND_N,
+    d: int = DIM,
+    lo: float = _RAND_LO,
+    hi: float = _RAND_HI,
+    seed: int = 0,
+) -> DataFrame:
+    """F7: n points uniform in [lo, hi)^d, fully distributed (spark.range
+    parallelizes the id space) and deterministic for a given seed."""
+    base = spark.range(n).select(F.col("id").alias("point_id"))
+    df = base.select(
+        "point_id", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("dim")
+    )
+    x = (
+        F.lit(_LCG_A) * (F.col("point_id") * d + F.col("dim") + F.lit(seed))
+        + F.lit(_LCG_C)
+    ) % F.lit(_LCG_M)
+    return df.select(
+        "point_id",
+        "dim",
+        (x.cast("double") / _LCG_M * (hi - lo) + lo).alias("val"),
+    )
+
+
+@query(
+    "points_random_uniform",
+    f"""
+    SELECT p.i AS point_id, CAST(t.i AS INT) AS dim,
+           CAST(({_LCG_A} * (p.i * {DIM} + t.i) + {_LCG_C}) % {_LCG_M} AS DOUBLE)
+               / {_LCG_M} * {_RAND_HI - _RAND_LO} + {_RAND_LO} AS val
+    FROM range(0, {_RAND_N}) p(i) CROSS JOIN range(0, {DIM}) t(i)
+    """,
+)
+def points_random_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F7 surface (see :func:`random_uniform_points`)."""
+    return random_uniform_points(spark)
 
 
 @query(

@@ -66,20 +66,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition count is pinned into its checkpoint at first start — real
 # deployments size it to stateful-key cardinality/throughput PER QUERY,
 # not from the session's batch shuffle default. 8 partitions comfortably
-# hold these queries' state (O(users) keys); a stream-stream join keeps 4
+# hold these queries' state (O(users) keys). A stream-stream join keeps 4
 # state stores per partition, so oversizing multiplies fixed per-store
-# per-batch cost (measured at sf0.1: 32 partitions -> 5.6 s, 8 -> 2.1 s
-# for the stream-stream join, identical results).
+# per-batch cost; it gets its own smaller setting (measured at sf0.1:
+# 32 partitions -> 5.6 s, 8 -> 3.1 s, 4 -> 2.4 s, 2 -> 2.4 s, identical
+# results — 4 balances per-store overhead against parallel headroom).
 STATE_PARTITIONS = 8
+JOIN_STATE_PARTITIONS = 4
 
 
-def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_memory(
+    agg: DataFrame,
+    mode: str = "complete",
+    state_partitions: int = STATE_PARTITIONS,
+) -> DataFrame:
     """Execute a streaming aggregation to completion against a uniquely
     named memory sink; return the result as a static DataFrame."""
     name = f"stream_result_{next(_mem_counter)}"
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -215,7 +221,9 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
             "gap_sec"
         ),
     )
-    return _run_to_memory(joined, mode="append")
+    return _run_to_memory(
+        joined, mode="append", state_partitions=JOIN_STATE_PARTITIONS
+    )
 
 
 def stream_kmeans_scoring(

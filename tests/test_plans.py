@@ -143,6 +143,21 @@ def test_ivf_probe_partition_pruned_and_fit_once(spark, monkeypatch):
     assert [r.asDict() for r in again] == [r.asDict() for r in first]
 
 
+def test_ivf_knn_join_dpp_and_broadcast(spark):
+    """The batch IVF k-NN join must (a) broadcast the exploded probe side,
+    and (b) prune index partitions via dynamic partition pruning — the
+    scan's PartitionFilters carry a dynamicpruning expression on cell_id,
+    so only probed cell directories are read at execution time."""
+    import re
+
+    df = registry.QUERIES["ann_ivf_knn_join"](spark, SF001)
+    plan = explain_string(df)
+    assert has_broadcast_join(df), plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell_id" in m.group(1), plan
+    assert "dynamicpruning" in m.group(1), m.group(1)
+
+
 def test_partitioned_sink_prunes(spark):
     """The status filter must become a PartitionFilter (planning-time
     directory pruning), not a data filter."""
