@@ -38,6 +38,14 @@ CHUNK_STRIDE = 56  # 8-token overlap between consecutive chunks
 DECON_NGRAM = 5
 BENCH_MAX_DOC_ID = 100  # doc_id < this = the stand-in benchmark set
 
+SEQ_CAP = 256  # packed training-sequence capacity (tokens)
+PACK_GROUPS = 16  # packing parallelism (see docs_pack_sequences)
+
+# stratified sampling: per-stratum keep percentage (md5-bucket threshold)
+STRATA_RATES = {"short": 10, "medium": 50, "long": 100}
+SHORT_MAX_CHARS = 200
+MEDIUM_MAX_CHARS = 600
+
 
 def hash_bucket(col: F.Column, buckets: int = 100) -> F.Column:
     """Deterministic [0, buckets) bucket from the md5 of a key column —
@@ -136,6 +144,163 @@ def docs_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "docs_pack_sequences",
+    f"""
+    WITH toked AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(st / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(len(toks[st + 1 : least(st + {CHUNK_TOKENS}, len(toks))])
+                    AS INT) AS n_tokens
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS st
+            FROM toked
+        )
+    ),
+    grouped AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % {PACK_GROUPS} AS INT) AS pack_group,
+               doc_id, chunk_idx, n_tokens
+        FROM chunks
+    ),
+    packed AS (
+        SELECT pack_group, n_tokens,
+               -- // not a double CAST: DuckDB CAST(double AS BIGINT)
+               -- ROUNDS, Spark's cast truncates; floor division agrees
+               -- (the outer CAST only narrows HUGEINT -> BIGINT)
+               CAST((sum(n_tokens) OVER (
+                        PARTITION BY pack_group ORDER BY doc_id, chunk_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) - n_tokens) // {SEQ_CAP} AS BIGINT) AS seq_id
+        FROM grouped
+    )
+    SELECT pack_group, seq_id,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed
+    FROM packed GROUP BY pack_group, seq_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assemble token chunks into fixed-capacity
+    ({SEQ_CAP}-token) training sequences — the step that turns a chunked
+    corpus into dense LM batches (padding waste -> fill ratio).
+
+    Packing rule: deterministic streaming first-fit — chunks in
+    (doc_id, chunk_idx) order, a chunk opens a new sequence iff its
+    STARTING offset crosses a capacity boundary (running-sum binning, so
+    sequences may overflow by at most one chunk; exact bin packing is
+    NP-hard and order-unstable — this rule is one window pass and fully
+    reproducible).
+
+    Scale shape: a GLOBAL running sum would serialize the corpus through
+    one window partition, so packing runs independently per
+    ``pack_group`` (md5 bucket of doc_id, {PACK_GROUPS} groups here —
+    at 100 TB set groups ~ cores so each worker packs its own stream;
+    sequences never span groups, matching how packed shards are written
+    per-task anyway). ONE shuffle on pack_group feeds both the window
+    and the final per-sequence rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    starts = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("st"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        (F.col("st") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(F.slice("toks", F.col("st") + 1, CHUNK_TOKENS)).alias("n_tokens"),
+    )
+    grouped = chunks.select(
+        hash_bucket(F.col("doc_id"), PACK_GROUPS).cast("int").alias("pack_group"),
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = grouped.select(
+        "pack_group",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_CAP
+        ).cast("bigint").alias("seq_id"),
+    )
+    return packed.groupBy("pack_group", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens_packed"),
+    )
+
+
+@query(
+    "documents_stratified_sample",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN length(text) <= {SHORT_MAX_CHARS} THEN 'short'
+                    WHEN length(text) <= {MEDIUM_MAX_CHARS} THEN 'medium'
+                    ELSE 'long' END AS stratum,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT stratum,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN bucket < CASE stratum
+                        WHEN 'short' THEN {STRATA_RATES["short"]}
+                        WHEN 'medium' THEN {STRATA_RATES["medium"]}
+                        ELSE {STRATA_RATES["long"]} END
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM s GROUP BY stratum
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the data-mixture rebalance
+    step (keep 100% of long documents, 50% of medium, 10% of short).
+    Membership is a pure function of md5(doc_id) vs the stratum's
+    threshold: reproducible across runs/engines (same property as
+    ``documents_hash_split``), no ``rand()``, no extra pass — stratum
+    assignment, keep decision, and the rollup are one narrow scan + one
+    aggregation. At 100 TB the keep-filter runs inside the scan stage and
+    the only shuffle is the tiny per-stratum rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    stratum = (
+        F.when(F.length("text") <= SHORT_MAX_CHARS, F.lit("short"))
+        .when(F.length("text") <= MEDIUM_MAX_CHARS, F.lit("medium"))
+        .otherwise(F.lit("long"))
+    )
+    rate = (
+        F.when(F.col("stratum") == "short", F.lit(STRATA_RATES["short"]))
+        .when(F.col("stratum") == "medium", F.lit(STRATA_RATES["medium"]))
+        .otherwise(F.lit(STRATA_RATES["long"]))
+    )
+    b = d.select(
+        stratum.alias("stratum"), hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+    return b.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("bucket") < rate).cast("bigint")).alias("n_kept"),
     )
 
 

@@ -46,6 +46,8 @@ PRIORITY_FIRST: list[str] = [
     "ann_ivf_knn_join",
     "points_random_uniform",
     "points_text_roundtrip",
+    "docs_pack_sequences",
+    "documents_stratified_sample",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",

@@ -182,6 +182,15 @@ def test_bucketed_join_no_shuffle(spark):
     assert count_exchanges(df) == 1, plan
 
 
+def test_pack_sequences_single_shuffle(spark):
+    """Sequence packing: the chunk fan-out is narrow; the per-group window
+    and the per-sequence rollup share ONE exchange on pack_group (the
+    rollup's (pack_group, seq_id) clustering is satisfied by the window's
+    pack_group partitioning — no second shuffle)."""
+    df = registry.QUERIES["docs_pack_sequences"](spark, SF001)
+    assert count_exchanges(df) == 1, explain_string(df)
+
+
 def test_pipeline_single_shuffle(spark):
     """The composed quality-gate -> dedup pipeline keeps the standalone
     operators' shuffle budget: exactly one exchange (the dedup groupBy on
