@@ -48,6 +48,8 @@ PRIORITY_FIRST: list[str] = [
     "points_text_roundtrip",
     "docs_pack_sequences",
     "documents_stratified_sample",
+    "dedup_groups_star",
+    "stream_dedup_clicks",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",

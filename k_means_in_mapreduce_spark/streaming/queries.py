@@ -101,6 +101,20 @@ def stream_range_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_clicks",
+    """
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_start
+    FROM events
+    """,
+)
+def stream_dedup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-evicted streaming dropDuplicates — result must equal the
+    batch DISTINCT over the same keys."""
+    return W.stream_dedup_clicks(spark, sf_dir)
+
+
+@query(
     "stream_kmeans_scoring",
     f"""WITH {_ASSIGN_CTE}
     SELECT cluster_id, count(*) AS num_points FROM assign GROUP BY cluster_id""",

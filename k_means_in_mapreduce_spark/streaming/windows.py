@@ -226,6 +226,30 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def stream_dedup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: collapse repeated (user, event_type)
+    activity within the same minute to one row — the exactly-once /
+    retry-collapse shape every event-ingest pipeline needs.
+
+    ``dropDuplicates`` keeps one row per key in the state store; the
+    watermark on the minute column lets Spark EVICT keys older than the
+    horizon, so state is bounded by keys-per-hour, not stream length —
+    without an event-time column in the dedup key the state would grow
+    forever. Output is the distinct key set, which is order-independent
+    and therefore exactly the batch DISTINCT (oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    keys = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", "ts").alias("minute_start"),
+        )
+        .withWatermark("minute_start", "1 hour")
+        .dropDuplicates(["user_id", "event_type", "minute_start"])
+    )
+    return _run_to_memory(keys, mode="append")
+
+
 def stream_kmeans_scoring(
     spark: SparkSession,
     sf_dir: str,

@@ -142,6 +142,40 @@ def test_hot_shingle_cap_bounds_pairs_keeps_scores_exact(spark):
     assert (300, 301) not in capped
 
 
+def test_star_cc_matches_label_propagation_and_handles_deep_chains(spark):
+    """large-star/small-star must (a) agree with min-label propagation on
+    a mixed synthetic graph, and (b) solve a diameter-300 chain — which
+    label propagation at its default max_iter=50 must refuse (raise), not
+    silently mis-group — in O(log d) rounds."""
+    import pytest
+
+    from k_means_in_mapreduce_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # (a) chain + triangle + pair, same fixture shape as the test below
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)]
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got_star = {
+        (r.doc_id, r.component) for r in connected_components_star(e).collect()
+    }
+    got_prop = {
+        (r.doc_id, r.component) for r in connected_components(e).collect()
+    }
+    assert got_star == got_prop
+
+    # (b) a 300-deep chain: star converges (~log2(300) alternating rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long"
+    )
+    star = connected_components_star(chain).collect()
+    assert {r.component for r in star} == {0}
+    assert {r.doc_id for r in star} == set(range(301))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain)  # diameter 300 > default max_iter=50
+
+
 def test_connected_components_synthetic_graph(spark):
     """Min-label propagation on a graph needing multiple rounds: a chain
     0-1-2-3-4 (diameter 4), a separate triangle, and an isolated pair.
