@@ -319,6 +319,69 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embeddings_quantize_int8",
+    f"""
+    WITH casted AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    params AS (
+        SELECT vec_id, e,
+               list_min(e) AS zero_point,
+               (list_max(e) - list_min(e)) / 255.0 AS scale
+        FROM casted
+    )
+    SELECT vec_id, zero_point, scale,
+           CAST(len(e) AS INT) AS n_dims,
+           CAST(CASE WHEN scale > 0
+                THEN list_sum(list_transform(e, x -> round((x - zero_point) / scale)))
+                ELSE 0 END AS BIGINT) AS q_checksum
+    FROM params
+    """,
+)
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric per-vector int8 quantization of the embedding column —
+    the 4x storage-reduction step an embedding lake runs before archiving
+    (dequantize: x ≈ q*scale + zero_point). Entirely element-wise HOF
+    expressions (transform/aggregate/array_min/array_max) inside
+    WholeStageCodegen: a narrow map, zero shuffles, zero Python.
+
+    Output keeps scalar columns (per-vector quant params + the exact sum
+    of the 0..255 codes as a content checksum) so the gate hash binds
+    every code without emitting an array column. Constant vectors
+    (scale == 0) quantize to all-zeros by convention. Spark round() and
+    DuckDB round() agree on doubles (ties away from zero for positive
+    inputs), and both sides derive from the same float32->double casts,
+    so the checksum matches bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    mn = F.array_min("e")
+    mx = F.array_max("e")
+    p = e.select(
+        "vec_id",
+        "e",
+        mn.alias("zero_point"),
+        ((mx - mn) / F.lit(255.0)).alias("scale"),
+    )
+    codes = F.transform(
+        "e", lambda x: F.round((x - F.col("zero_point")) / F.col("scale"))
+    )
+    qsum = F.when(
+        F.col("scale") > 0,
+        F.aggregate(codes, F.lit(0.0), lambda acc, x: acc + x),
+    ).otherwise(F.lit(0.0))
+    return p.select(
+        "vec_id",
+        "zero_point",
+        "scale",
+        F.size("e").alias("n_dims"),
+        qsum.cast("bigint").alias("q_checksum"),
+    )
+
+
 @query("ann_lsh_topk")  # approximate — recall-tested vs the exact baseline
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN (classic Indyk-Motwani

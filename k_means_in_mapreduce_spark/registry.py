@@ -50,6 +50,7 @@ PRIORITY_FIRST: list[str] = [
     "documents_stratified_sample",
     "dedup_groups_star",
     "stream_dedup_clicks",
+    "embeddings_quantize_int8",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",

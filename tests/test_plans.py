@@ -143,6 +143,15 @@ def test_ivf_probe_partition_pruned_and_fit_once(spark, monkeypatch):
     assert [r.asDict() for r in again] == [r.asDict() for r in first]
 
 
+def test_quantize_int8_no_shuffle_no_python(spark):
+    """int8 quantization is a pure narrow map: zero exchanges, no Python
+    in the plan (element-wise HOFs stay JVM-side)."""
+    df = registry.QUERIES["embeddings_quantize_int8"](spark, SF001)
+    plan = explain_string(df)
+    assert count_exchanges(df) == 0, plan
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan.lower(), plan
+
+
 def test_ivf_knn_join_dpp_and_broadcast(spark):
     """The batch IVF k-NN join must (a) broadcast the exploded probe side,
     and (b) prune index partitions via dynamic partition pruning — the
