@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens, word_ngrams
+from ..functions.text import normalized, tokens, word_ngrams
 from ..registry import query
 from ..sources import load_table
 
@@ -301,6 +301,73 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("stratum").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum((F.col("bucket") < rate).cast("bigint")).alias("n_kept"),
+    )
+
+
+@query(
+    "corpus_mixture_report",
+    """
+    WITH agg AS (
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_chars,
+           total_chars / CAST(sum(total_chars) OVER () AS DOUBLE) AS char_share
+    FROM agg
+    """,
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture dashboard: per (source, lang) document/char counts and
+    each cell's share of the corpus — the report that drives mixture
+    weighting decisions in a training-data pipeline. One aggregation over
+    the corpus; the share window runs over the tiny aggregated result
+    (|sources|x|langs| rows), not the data, so the unpartitioned window
+    is O(cells) regardless of corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    total = F.sum("total_chars").over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars") / total.cast("double")).alias("char_share"),
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+               AS n_unique,
+           1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                 / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate — the signal that tells a pipeline
+    WHICH ingest feeds need dedup attention. Exact distinct over the
+    32-byte content digest (two-stage partial-distinct plan: the corpus
+    shuffles as digests grouped by source, never as text)."""
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.md5(normalized("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(digest).alias("n_unique"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(digest) / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
     )
 
 

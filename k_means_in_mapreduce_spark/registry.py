@@ -51,6 +51,8 @@ PRIORITY_FIRST: list[str] = [
     "dedup_groups_star",
     "stream_dedup_clicks",
     "embeddings_quantize_int8",
+    "corpus_mixture_report",
+    "dedup_rate_by_source",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",
