@@ -1,0 +1,125 @@
+"""Drop-in CLI mirroring the reference's invocation surface.
+
+The reference runs as
+``hadoop jar kmeans.jar it.unipi.hadoop.KMeans <input> <k> <max_iter>
+<output> <dim> <epsilon> <num_reducer>`` (``KMeans.java:96-109``); this
+module accepts the SAME seven positional arguments so a reference user
+can switch by replacing the ``hadoop jar`` prefix with
+``python -m k_means_in_mapreduce_spark``:
+
+- ``input``: text file/dir of ``<x1, x2, ...>`` lines (``KMeans.java:261-274``)
+- ``k`` / ``max_iter`` / ``epsilon``: the Lloyd loop controls (C2/C3)
+- ``output``: directory; receives the final centroids as
+  ``clusterId<TAB><c1, c2, ...>`` text lines (``KMeans.java:90,148-150``)
+  plus a structured ``_run_report.json`` and an ``outputsLog.txt`` line
+  (C6, ``KMeans.java:119-127,189-193``)
+- ``dim``: validated against the parsed data (the reference trusts each
+  line's arity, ``Point.java:26``; we fail fast on mismatch)
+- ``num_reducer``: becomes ``spark.sql.shuffle.partitions``
+  (``KMeans.java:133`` setNumReduceTasks)
+
+Documented deltas from the reference (SURVEY §2.11 latent bugs are NOT
+reproduced): init is SEEDED (env ``SPARK_GRAFT_SEED``, default 42 —
+the reference's unseeded ``Random`` makes runs unrepeatable), exactly
+``max_iter`` iterations may run (the reference's ``iter=1`` +
+``while (iter < MAX_ITER)`` runs at most ``max_iter - 1``), and the final
+centroids are written once instead of one directory per iteration (the
+per-iteration text feedback loop dissolves into driver state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+USAGE = (
+    "usage: python -m k_means_in_mapreduce_spark "
+    "<input> <k> <max_iter> <output> <dim> <epsilon> <num_reducer>"
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 7:
+        print(USAGE, file=sys.stderr)
+        return 2
+    try:
+        inp, k, max_iter, out, dim, epsilon, num_reducer = (
+            argv[0],
+            int(argv[1]),
+            int(argv[2]),
+            argv[3],
+            int(argv[4]),
+            float(argv[5]),
+            int(argv[6]),
+        )
+    except ValueError as ex:
+        print(f"bad argument: {ex}\n{USAGE}", file=sys.stderr)
+        return 2
+    if k <= 0 or max_iter <= 0 or dim <= 0 or num_reducer <= 0:
+        print(f"arguments must be positive\n{USAGE}", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import functions as F
+
+    from .operators.kmeans_df import KMeansConfig, fit
+    from .session import get_session
+    from .sources.text_points import format_points, parse_points
+
+    seed = int(os.environ.get("SPARK_GRAFT_SEED", "42"))
+    method = os.environ.get("SPARK_GRAFT_KMEANS_METHOD", "arrow")
+    spark = get_session(
+        app_name="kmeans-cli", shuffle_partitions=num_reducer
+    )
+
+    pts = parse_points(spark, inp).cache()
+    bad = pts.filter(F.size("features") != dim).count()
+    if bad:
+        print(
+            f"{bad} input line(s) do not have the declared dim={dim}",
+            file=sys.stderr,
+        )
+        return 1
+
+    model = fit(
+        pts,
+        KMeansConfig(
+            k=k,
+            max_iter=max_iter,
+            tol=epsilon,
+            seed=seed,
+            features_col="features",
+            method=method,
+        ),
+    )
+
+    # final centroids in the reference's TextOutputFormat shape:
+    # "<clusterId>\t<c1, c2, ...>" (KMeans.java:90,150; Point.java:96-106)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(model.centroids)],
+        "cluster_id int, features array<double>",
+    )
+    lines = format_points(cents).select(
+        F.concat_ws("\t", F.col("cluster_id").cast("string"), "point_str").alias(
+            "value"
+        )
+    )
+    lines.coalesce(1).write.mode("overwrite").text(out)
+
+    report = model.report()
+    report.update({"input": inp, "output": out, "seed": seed, "method": method})
+    with open(os.path.join(out, "_run_report.json"), "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    # the reference's outputsLog.txt line (KMeans.java:119-127,189-193),
+    # written next to the results instead of the working directory
+    with open(os.path.join(out, "outputsLog.txt"), "a") as fh:
+        fh.write(
+            f"k={k} dim={dim} epsilon={epsilon} iterations={report['iterations']} "
+            f"converged={report['converged']} "
+            f"final_movement={report['final_movement']} "
+            f"wall_sec={report['wall_sec']:.3f}\n"
+        )
+    pts.unpersist()
+    return 0

@@ -57,6 +57,9 @@ PRIORITY_FIRST: list[str] = [
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",
     "kmeans_fit_gmm",
+    # implementation or oracle changed this round — re-gate current code
+    "dedup_connected_components",
+    "stream_range_error_click",
     # rewritten in round 2 AFTER their r1 rows — current code never gate-checked
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",

@@ -147,3 +147,46 @@ def test_arrow_method_parity(spark, emb):
     np.testing.assert_allclose(
         np.array(m_a.centroids), np.array(m_e.centroids), rtol=1e-9, atol=1e-12
     )
+
+
+def test_cli_reference_invocation(spark, tmp_path):
+    """python -m k_means_in_mapreduce_spark with the reference's exact 7
+    positional args (KMeans.java:96-109): text-point input -> seeded fit
+    -> 'clusterId<TAB><c1, c2, ...>' text output (KMeans.java:90,150)
+    plus run report. Consumers filter part-* like the reference's own
+    readAndAddCentroid filters part-r-* (KMeans.java:228)."""
+    import json
+    import os
+
+    from k_means_in_mapreduce_spark.cli import main
+    from k_means_in_mapreduce_spark.sources.text_points import write_points
+
+    inp = str(tmp_path / "pts")
+    out = str(tmp_path / "cents")
+    emb = load_table(spark, SF0001, "embeddings").limit(200)
+    write_points(emb, inp, "embedding")
+
+    assert main([inp, "4", "10", out, "64", "0.001", "4"]) == 0
+
+    lines = [
+        r["value"]
+        for r in spark.read.text(os.path.join(out, "part-*")).collect()
+    ]
+    assert len(lines) == 4
+    parsed = {}
+    for ln in lines:
+        cid, vec = ln.split("\t", 1)
+        assert vec.startswith("<") and vec.endswith(">")
+        parsed[int(cid)] = [float(x) for x in vec[1:-1].split(", ")]
+    assert sorted(parsed) == [0, 1, 2, 3]
+    assert all(len(v) == 64 for v in parsed.values())
+
+    report = json.load(open(os.path.join(out, "_run_report.json")))
+    assert report["k"] == 4 and report["iterations"] >= 1
+    assert os.path.exists(os.path.join(out, "outputsLog.txt"))
+
+    # bad invocations fail fast with the reference's arg contract
+    assert main(["onlyone"]) == 2
+    assert main([inp, "0", "10", out, "64", "0.001", "4"]) == 2
+    # declared dim mismatching the data is a validation error, not a crash
+    assert main([inp, "4", "10", out, "63", "0.001", "4"]) == 1
