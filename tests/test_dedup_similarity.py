@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from k_means_in_mapreduce_spark import registry
+from k_means_in_mapreduce_spark.sources import load_table
 
 from .conftest import SF001
 
@@ -207,3 +208,31 @@ def test_exact_dedup_copies(spark):
     df = registry.QUERIES["dedup_exact"](spark, SF001).toPandas()
     assert df.n_copies.sum() == 500
     assert (df.n_copies >= 1).all()
+
+
+def test_quantize_int8_numpy_parity_and_error_bound(spark):
+    """Independent NumPy re-derivation of the quantization: the Spark
+    checksum must equal the NumPy one, codes must lie in [0, 255], and the
+    dequantization error |x - (q*scale + zero_point)| must be <= scale/2
+    per element (the defining property of round-to-nearest quantization)."""
+    import numpy as np
+
+    q = registry.QUERIES["embeddings_quantize_int8"](spark, SF001).toPandas()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF001, "embeddings").collect()
+    }
+    assert set(q.vec_id) == set(emb)
+    for row in q.itertuples():
+        x = emb[row.vec_id]
+        mn, mx = x.min(), x.max()
+        scale = (mx - mn) / 255.0
+        assert row.zero_point == mn and row.scale == scale
+        if scale == 0:
+            assert row.q_checksum == 0
+            continue
+        codes = np.round((x - mn) / scale)
+        assert codes.min() >= 0 and codes.max() <= 255
+        assert row.q_checksum == int(codes.sum())
+        err = np.abs(x - (codes * scale + mn))
+        assert err.max() <= scale / 2 * (1 + 1e-9), (row.vec_id, err.max())

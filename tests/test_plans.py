@@ -143,6 +143,18 @@ def test_ivf_probe_partition_pruned_and_fit_once(spark, monkeypatch):
     assert [r.asDict() for r in again] == [r.asDict() for r in first]
 
 
+def test_mixture_and_dedup_rate_shuffle_budget(spark):
+    """corpus_mixture_report: one corpus aggregation + a window over the
+    aggregated cells (2 exchanges, none proportional to corpus width);
+    dedup_rate_by_source: two-stage distinct plan, shuffle keys are
+    digests grouped by source, never text."""
+    mix = registry.QUERIES["corpus_mixture_report"](spark, SF001)
+    assert count_exchanges(mix) <= 2, explain_string(mix)
+    rate = registry.QUERIES["dedup_rate_by_source"](spark, SF001)
+    assert "BatchEvalPython" not in explain_string(rate)
+    assert count_exchanges(rate) <= 2, explain_string(rate)
+
+
 def test_quantize_int8_no_shuffle_no_python(spark):
     """int8 quantization is a pure narrow map: zero exchanges, no Python
     in the plan (element-wise HOFs stay JVM-side)."""
