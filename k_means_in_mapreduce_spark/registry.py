@@ -53,6 +53,7 @@ PRIORITY_FIRST: list[str] = [
     "embeddings_quantize_int8",
     "corpus_mixture_report",
     "dedup_rate_by_source",
+    "csv_corrupt_records_audit",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",

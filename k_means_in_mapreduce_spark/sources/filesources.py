@@ -222,6 +222,74 @@ def bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "csv_corrupt_records_audit",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+           CAST(sum(CASE WHEN o_orderkey % 10 <> 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS good_total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant ingest — the error-handling contract a real
+    100 TB CSV feed needs: one malformed field must quarantine THAT row
+    (null column + the raw line in ``_corrupt_record``), not kill the
+    task (the reference's parser throws and dies on the first bad line,
+    ``KMeans.java:269`` NumberFormatException — documented anti-pattern).
+
+    A corrupt feed is synthesized deterministically (every o_orderkey %
+    10 == 0 gets its price replaced by 'N/A'), read back in PERMISSIVE
+    mode with an explicit schema + corrupt-record column, and audited
+    per status: corrupt/good row counts and the exact DECIMAL revenue of
+    the rows that survived. The oracle derives the same audit from the
+    clean table and the same %10 rule."""
+    path = _scratch(sf_dir, "orders_corrupt_csv")
+    o = load_table(spark, sf_dir, "orders")
+    price = F.when(
+        F.col("o_orderkey") % 10 == 0, F.lit("N/A")
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    (
+        o.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                "o_orderstatus",
+                price,
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return back.groupBy("o_orderstatus").agg(
+        F.sum(corrupt.cast("bigint")).alias("n_corrupt"),
+        F.sum((~corrupt).cast("bigint")).alias("n_good"),
+        F.sum(
+            F.when(
+                ~corrupt, F.col("o_totalprice").cast("decimal(18,2)")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("good_total_price"),
+    )
+
+
+@query(
     "text_points_ingest",
     """
     SELECT CAST(len(embedding) AS INT) AS dim,
