@@ -175,16 +175,24 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
     sample (FAISS-style, ~30-256 vectors per cell); at testdata scale the
     full set is that sample.
 
-    Reuse is keyed on a content fingerprint of ``embeddings.parquet``
-    (stored inside centroids.json): if the source is regenerated, both the
-    on-disk artifact and the in-process memo are invalidated and the index
-    is rebuilt. ``centroids.json`` is swapped in atomically AFTER the cell
-    parquet finishes, so a concurrent reader either sees a complete
-    matching artifact or rebuilds.
+    Storage layout (format 2, FAISS-style preprocessed vectors): each row
+    is ``(vec_id, unit array<double>, norm double)`` partitioned by
+    cell_id — the vector is stored PRE-NORMALIZED, so probe scoring is a
+    single dot product instead of dot + two norms per candidate pair
+    (3x less inner-loop work in the batch k-NN join; the raw vector is
+    recoverable as ``unit * norm`` when an exact-rerank needs it).
+
+    Reuse is keyed on a content fingerprint of ``embeddings.parquet`` and
+    the layout format (stored inside centroids.json): a regenerated
+    source OR an older-format artifact is rebuilt, never silently reused.
+    ``centroids.json`` is swapped in atomically AFTER the cell parquet
+    finishes, so a concurrent reader either sees a complete matching
+    artifact or rebuilds.
     """
     import json
     import os
 
+    from ..functions.vector import l2_norm
     from ..sources.filesources import _scratch
     from .kmeans_df import KMeansConfig, assign_clusters, fit
 
@@ -204,7 +212,11 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
     ):
         with open(cent_file) as fh:
             meta = json.load(fh)
-        if isinstance(meta, dict) and meta.get("fingerprint") == fp:
+        if (
+            isinstance(meta, dict)
+            and meta.get("fingerprint") == fp
+            and meta.get("format") == 2
+        ):
             centroids = meta["centroids"]
     if centroids is None:
         e = load_table(spark, sf_dir, "embeddings")
@@ -213,9 +225,22 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
             KMeansConfig(k=IVF_CELLS, max_iter=5, tol=0.0, seed=7, method="arrow"),
         )
         centroids = [list(map(float, c)) for c in model.centroids]
+        ed = assign_clusters(e, centroids).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            F.col("cluster_id").alias("cell_id"),
+        )
+        # norm as its own projection first, so the per-element division
+        # references a computed column instead of inlining the norm
+        # aggregate into every element's expression
         (
-            assign_clusters(e, centroids)
-            .select("vec_id", "embedding", F.col("cluster_id").alias("cell_id"))
+            ed.withColumn("norm", l2_norm("e"))
+            .select(
+                "vec_id",
+                F.transform("e", lambda x: x / F.col("norm")).alias("unit"),
+                "norm",
+                "cell_id",
+            )
             .write.mode("overwrite")
             .partitionBy("cell_id")
             .parquet(cells_dir)
@@ -223,7 +248,9 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
         os.makedirs(root, exist_ok=True)
         tmp = cent_file + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"fingerprint": fp, "centroids": centroids}, fh)
+            json.dump(
+                {"fingerprint": fp, "format": 2, "centroids": centroids}, fh
+            )
         os.replace(tmp, cent_file)  # atomic: readers never see a torn file
     _IVF_INDEX_CACHE[key] = (fp, centroids, cells_dir)
     return centroids, cells_dir
@@ -243,13 +270,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = [sum((a - b) ** 2 for a, b in zip(qv, c)) for c in centroids]
     probes = sorted(range(IVF_CELLS), key=lambda i: (d2[i], i))[:IVF_PROBES]
 
+    from ..functions.vector import dot
+
     idx = spark.read.parquet(cells_dir)
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qn = sum(x * x for x in qv) ** 0.5
+    qunit = F.array(*[F.lit(float(x) / qn) for x in qv])
+    # index vectors are stored pre-normalized -> cosine is ONE dot product
     return (
         idx.filter(
             F.col("cell_id").isin(probes) & (F.col("vec_id") != QUERY_VEC_ID)
         )
-        .select("vec_id", cosine_similarity("embedding", qlit).alias("cos_sim"))
+        .select("vec_id", dot("unit", qunit).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(TOP_K)
     )
@@ -293,23 +324,33 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning, so only probed cell directories are read
     (asserted in tests/test_plans.py). Work per query ≈
     IVF_PROBES/IVF_CELLS of a full scan, exactly the IVF contract."""
+    from ..functions.vector import dot, l2_norm
+
     centroids, cells_dir = build_ivf_index(spark, sf_dir)
     idx = spark.read.parquet(cells_dir)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
     )
-    probes = q.select(
+    # normalize the query side ONCE (narrow map over |Q| rows); the index
+    # side is stored pre-normalized, so per-pair scoring in the join is a
+    # single dot product instead of dot + two norms — 3x less inner-loop
+    # work where it multiplies (|pairs| = |Q| x probed cells' rows)
+    qn = q.withColumn("_n", l2_norm("qe")).select(
+        "qid", "qe", F.transform("qe", lambda x: x / F.col("_n")).alias("qu")
+    )
+    # probe-cell selection runs on the RAW vector — the same L2 space the
+    # coarse quantizer was trained/assigned in; only SCORING uses units
+    probes = qn.select(
         "qid",
-        "qe",
+        "qu",
         F.explode(probe_cells_expr("qe", centroids, IVF_PROBES)).alias("cell_id"),
     )
     scored = (
         idx.join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "vec_id", cosine_similarity("embedding", "qe").alias("cos_sim")
-        )
+        .select("qid", "vec_id", dot("unit", "qu").alias("cos_sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
