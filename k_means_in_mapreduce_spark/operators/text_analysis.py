@@ -206,3 +206,84 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in ("de", "fr"):
         pred = pred.when(F.col(f"score_{lang}") == best, lang)
     return scored.withColumn("predicted_lang", pred.otherwise("es"))
+
+
+# PII patterns — RE2-compatible subset so Spark (Java regex) and DuckDB
+# (RE2) match identically. Order of redaction: email, then IP, then phone
+# (the phone charset has no dots, so it cannot span an IP or email).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d\- ]{7,}\d"
+
+
+@query(
+    "documents_pii_scrub",
+    f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-0100' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.0.1' ELSE '' END
+               AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{PII_IP}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                              '{PII_IP}', '[IP]', 'g'),
+               '{PII_PHONE}')) AS INT) AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_IP}', '[IP]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+)
+def documents_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub step a training corpus runs before any
+    release: emails, IPv4 addresses, and international-format phone
+    numbers replaced by typed placeholders, with per-doc detection counts
+    and an md5 of the redacted text pinning the exact output.
+
+    PII is SEEDED deterministically (synthetic docs contain none), the
+    same way the corrupt-CSV audit synthesizes its feed: both engines
+    apply the identical injection rule, so the oracle is exact. Patterns
+    stay in the RE2-compatible subset (no lookarounds/backrefs) so Java
+    regex and RE2 agree; phone counting runs AFTER email/IP redaction so
+    digit runs inside them can't double-count. Pure codegen'd string
+    expressions — a narrow map, no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call +1 555-0100")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" host 10.0.0.1")).otherwise(
+            F.lit("")
+        ),
+    )
+    seeded = d.select("doc_id", t.alias("t"))
+    no_email = F.regexp_replace("t", PII_EMAIL, "[EMAIL]")
+    no_ip = F.regexp_replace(no_email, PII_IP, "[IP]")
+    redacted = F.regexp_replace(no_ip, PII_PHONE, "[PHONE]")
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_IP)).cast("int").alias("n_ips"),
+        F.regexp_count(no_ip, F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -54,6 +54,7 @@ PRIORITY_FIRST: list[str] = [
     "corpus_mixture_report",
     "dedup_rate_by_source",
     "csv_corrupt_records_audit",
+    "documents_pii_scrub",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",
