@@ -276,3 +276,75 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(k).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "events_value_outliers",
+    """
+    WITH s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS sv,
+               CAST(sum(CAST(value AS DECIMAL(18,3))
+                        * CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS svv
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n, sv / n AS mean_value,
+               sqrt((svv - sv * sv / n) / (n - 1)) AS sd_value
+        FROM s
+    )
+    SELECT e.event_type, m.n AS n_events,
+           CAST(sum(CASE WHEN abs(e.value - m.mean_value) > 3 * m.sd_value
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           m.mean_value, m.sd_value
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.n, m.mean_value, m.sd_value
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly count — the monitoring pass that flags
+    metric rows more than 3σ from their group mean.
+
+    Two-pass shape that scales: pass 1 aggregates (n, Σv, Σv²) per type
+    (tiny result), pass 2 re-scans events joining the BROADCAST moments
+    and counts |v − μ| > 3σ per type — the detail side never shuffles
+    beyond the final per-type rollup. Moments derive from exact DECIMAL
+    sums with the same algebra on both engines (see
+    ``orders_price_moments``), so the outlier threshold — and therefore
+    the counts — match bit-for-bit regardless of partitioning. Scale is
+    3 decimals, not more: the decimal->double conversion of Σv² is only
+    guaranteed identical across engines while the scaled integer fits in
+    double's 53-bit mantissa (value~1e2, n~1e4 -> Σv²·10^6 ≈ 5e12 ✓;
+    at 10^6 the same sum needs 63 bits and engines may differ in the
+    last ulp)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,3)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("sv"),
+        F.sum(dec * dec).cast("double").alias("svv"),
+    )
+    n = F.col("n")
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv") / n).alias("mean_value"),
+        F.sqrt(
+            (F.col("svv") - F.col("sv") * F.col("sv") / n) / (n - 1)
+        ).alias("sd_value"),
+    )
+    joined = ev.join(F.broadcast(m), "event_type")
+    outlier = (
+        F.abs(F.col("value") - F.col("mean_value")) > 3 * F.col("sd_value")
+    )
+    return (
+        joined.groupBy("event_type", "n", "mean_value", "sd_value")
+        .agg(F.sum(outlier.cast("bigint")).alias("n_outliers"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            "n_outliers",
+            "mean_value",
+            "sd_value",
+        )
+    )

@@ -55,6 +55,7 @@ PRIORITY_FIRST: list[str] = [
     "dedup_rate_by_source",
     "csv_corrupt_records_audit",
     "documents_pii_scrub",
+    "events_value_outliers",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",

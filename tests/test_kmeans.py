@@ -190,3 +190,27 @@ def test_cli_reference_invocation(spark, tmp_path):
     assert main([inp, "0", "10", out, "64", "0.001", "4"]) == 2
     # declared dim mismatching the data is a validation error, not a crash
     assert main([inp, "4", "10", out, "63", "0.001", "4"]) == 1
+
+
+def test_mllib_model_persistence_roundtrip(spark, tmp_path, emb):
+    """Production-path model lifecycle: a fitted KMeansModel saved to
+    storage and reloaded in a fresh object must carry identical centers
+    and produce identical assignments — the deploy/score split a
+    long-lived pipeline runs (train once, score from the artifact)."""
+    from pyspark.ml.clustering import KMeansModel
+
+    res = fit_mllib(emb, k=10, max_iter=10, seed=42)
+    path = str(tmp_path / "kmeans_model")
+    res.model.write().overwrite().save(path)
+    loaded = KMeansModel.load(path)
+
+    orig = np.array(res.model.clusterCenters())
+    back = np.array(loaded.clusterCenters())
+    assert np.array_equal(orig, back)
+
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.withColumn("__features", array_to_vector(F.col("embedding")))
+    a = {r["vec_id"]: r["cluster_id"] for r in res.model.transform(vecs).collect()}
+    b = {r["vec_id"]: r["cluster_id"] for r in loaded.transform(vecs).collect()}
+    assert a == b
