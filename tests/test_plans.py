@@ -143,6 +143,22 @@ def test_ivf_probe_partition_pruned_and_fit_once(spark, monkeypatch):
     assert [r.asDict() for r in again] == [r.asDict() for r in first]
 
 
+def test_outliers_broadcasts_moments(spark):
+    """events_value_outliers: the per-type moments side must broadcast
+    back onto the detail scan (two-pass shape) — the detail side shuffles
+    only for the final per-type rollup."""
+    df = registry.QUERIES["events_value_outliers"](spark, SF001)
+    assert has_broadcast_join(df), explain_string(df)
+
+
+def test_pii_scrub_narrow_map(spark):
+    """PII redaction is a pure projection: zero exchanges, no Python."""
+    df = registry.QUERIES["documents_pii_scrub"](spark, SF001)
+    plan = explain_string(df)
+    assert count_exchanges(df) == 0, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_mixture_and_dedup_rate_shuffle_budget(spark):
     """corpus_mixture_report: one corpus aggregation + a window over the
     aggregated cells (2 exchanges, none proportional to corpus width);
