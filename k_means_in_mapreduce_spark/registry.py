@@ -56,6 +56,7 @@ PRIORITY_FIRST: list[str] = [
     "csv_corrupt_records_audit",
     "documents_pii_scrub",
     "events_value_outliers",
+    "stream_static_enriched_purchases",
     "kmeans_fit_df",
     "kmeans_fit_mllib",
     "kmeans_fit_bisecting",

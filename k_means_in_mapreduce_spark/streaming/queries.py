@@ -101,6 +101,20 @@ def stream_range_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enriched_purchases",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-static dimension join — must equal the batch
+    join exactly (no state, no watermark, no late-data semantics)."""
+    return W.stream_static_enriched_purchases(spark, sf_dir)
+
+
+@query(
     "stream_dedup_clicks",
     """
     SELECT DISTINCT user_id, event_type,

@@ -226,6 +226,30 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def stream_static_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the stateless lookup every event
+    pipeline runs: a purchase stream joined per-micro-batch against a
+    static dimension table (customer segment).
+
+    Unlike a stream-stream join there is NO state store and no watermark
+    requirement: the static side is (re)planned into each micro-batch —
+    Catalyst broadcasts it below the auto-broadcast threshold, so at
+    100 TB/day stream volume the enrichment is a per-batch broadcast-hash
+    join, the same plan a batch enrichment gets."""
+    from ..sources import load_table
+
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(cust, ev["user_id"] == cust["c_custkey"]).select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+    return _run_to_memory(joined, mode="append")
+
+
 def stream_dedup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: collapse repeated (user, event_type)
     activity within the same minute to one row — the exactly-once /
