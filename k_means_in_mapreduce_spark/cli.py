@@ -11,8 +11,11 @@ can switch by replacing the ``hadoop jar`` prefix with
 - ``k`` / ``max_iter`` / ``epsilon``: the Lloyd loop controls (C2/C3)
 - ``output``: directory; receives the final centroids as
   ``clusterId<TAB><c1, c2, ...>`` text lines (``KMeans.java:90,148-150``)
-  plus a structured ``_run_report.json`` and an ``outputsLog.txt`` line
-  (C6, ``KMeans.java:119-127,189-193``)
+  plus a structured ``_run_report.json``; a cumulative ``outputsLog.txt``
+  line is appended BESIDE the output dir (C6,
+  ``KMeans.java:119-127,189-193`` — the reference appends in its working
+  directory; inside the output dir it would be wiped by the next run's
+  overwrite)
 - ``dim``: validated against the parsed data (the reference trusts each
   line's arity, ``Point.java:26``; we fail fast on mismatch)
 - ``num_reducer``: becomes ``spark.sql.shuffle.partitions``
@@ -73,6 +76,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_session(
         app_name="kmeans-cli", shuffle_partitions=num_reducer
     )
+    # builder configs are ignored when a session already exists (notebook /
+    # embedded use); shuffle partitions is runtime-settable, so apply the
+    # num_reducer mapping unconditionally (KMeans.java:133)
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_reducer))
 
     pts = parse_points(spark, inp).cache()
     bad = pts.filter(F.size("features") != dim).count()
@@ -112,9 +119,14 @@ def main(argv: list[str] | None = None) -> int:
     report.update({"input": inp, "output": out, "seed": seed, "method": method})
     with open(os.path.join(out, "_run_report.json"), "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
-    # the reference's outputsLog.txt line (KMeans.java:119-127,189-193),
-    # written next to the results instead of the working directory
-    with open(os.path.join(out, "outputsLog.txt"), "a") as fh:
+    # the reference's cumulative outputsLog.txt (KMeans.java:119-127,
+    # 189-193): append OUTSIDE the output dir — the overwrite text sink
+    # wipes <output> at the start of every run, so a log inside it could
+    # never accumulate across runs
+    log_path = os.path.join(
+        os.path.dirname(os.path.abspath(out.rstrip("/"))), "outputsLog.txt"
+    )
+    with open(log_path, "a") as fh:
         fh.write(
             f"k={k} dim={dim} epsilon={epsilon} iterations={report['iterations']} "
             f"converged={report['converged']} "

@@ -144,22 +144,11 @@ _IVF_INDEX_CACHE: dict[str, tuple[str, list[list[float]], str]] = {}
 
 
 def _source_fingerprint(path: str) -> str:
-    """Cheap content fingerprint of a parquet file/dir: name+size+mtime of
-    every data file. Regenerated source data -> different fingerprint ->
-    stale index artifacts are rebuilt instead of silently reused."""
-    import hashlib
-    import os
+    """See :func:`..sources.filesources.source_fingerprint` (shared with
+    the bucketed-layout reuse check)."""
+    from ..sources.filesources import source_fingerprint
 
-    parts = []
-    if os.path.isdir(path):
-        for dirpath, _, files in sorted(os.walk(path)):
-            for fn in sorted(files):
-                st = os.stat(os.path.join(dirpath, fn))
-                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
-    else:
-        st = os.stat(path)
-        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
+    return source_fingerprint(path)
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]], str]:

@@ -186,8 +186,12 @@ def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     )
     SELECT o_orderstatus,
            sum_price / n AS mean_price,
-           sqrt((sum_sq - sum_price * sum_price / n) / (n - 1)) AS sd_price,
-           (sum_sq - sum_price * sum_price / n) / (n - 1) AS var_price,
+           CASE WHEN n > 1
+                THEN sqrt(greatest((sum_sq - sum_price * sum_price / n) / (n - 1), 0))
+                END AS sd_price,
+           CASE WHEN n > 1
+                THEN greatest((sum_sq - sum_price * sum_price / n) / (n - 1), 0)
+                END AS var_price,
            min_price,
            max_price
     FROM s
@@ -206,7 +210,13 @@ def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra — the oracle applies the *same* expression to the *same*
     exact sums, so results match bit-for-bit on any partitioning.
     The decimal sum is still a plain mergeable hash-agg partial: exact
-    AND scale-safe (sum magnitude at 100 TB stays within DECIMAL(38,4))."""
+    AND scale-safe (sum magnitude at 100 TB stays within DECIMAL(38,4)).
+
+    Edge guards (mirrored in the oracle): a single-row group yields NULL
+    sd/var (n-1 = 0 would raise under Spark's default ANSI mode —
+    ``stddev_samp`` semantics preserved), and the cancellation-prone
+    subtraction is clamped at 0 so a constant group can't produce a
+    tiny negative variance (Spark sqrt(neg) -> NaN, DuckDB errors)."""
     o = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(18,2)")
     s = o.groupBy("o_orderstatus").agg(
@@ -217,7 +227,14 @@ def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("max_price"),
     )
     n = F.col("n")
-    var = (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / n) / (n - 1)
+    var = F.when(
+        n > 1,
+        F.greatest(
+            (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / n)
+            / (n - 1),
+            F.lit(0.0),
+        ),
+    )
     return s.select(
         "o_orderstatus",
         (F.col("sum_price") / n).alias("mean_price"),
@@ -290,7 +307,9 @@ def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
         SELECT event_type, n, sv / n AS mean_value,
-               sqrt((svv - sv * sv / n) / (n - 1)) AS sd_value
+               CASE WHEN n > 1
+                    THEN sqrt(greatest((svv - sv * sv / n) / (n - 1), 0))
+                    END AS sd_value
         FROM s
     )
     SELECT e.event_type, m.n AS n_events,
@@ -325,12 +344,22 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec * dec).cast("double").alias("svv"),
     )
     n = F.col("n")
+    # same n>1 + clamp guards as orders_price_moments (ANSI-safe, no
+    # NaN from cancellation); a NULL sd makes every outlier predicate
+    # NULL, and the when/otherwise below mirrors the oracle's CASE so
+    # both count 0, not NULL
     m = s.select(
         "event_type",
         "n",
         (F.col("sv") / n).alias("mean_value"),
         F.sqrt(
-            (F.col("svv") - F.col("sv") * F.col("sv") / n) / (n - 1)
+            F.when(
+                n > 1,
+                F.greatest(
+                    (F.col("svv") - F.col("sv") * F.col("sv") / n) / (n - 1),
+                    F.lit(0.0),
+                ),
+            )
         ).alias("sd_value"),
     )
     joined = ev.join(F.broadcast(m), "event_type")
@@ -339,7 +368,11 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("event_type", "n", "mean_value", "sd_value")
-        .agg(F.sum(outlier.cast("bigint")).alias("n_outliers"))
+        .agg(
+            F.sum(F.when(outlier, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_outliers"
+            )
+        )
         .select(
             "event_type",
             F.col("n").alias("n_events"),

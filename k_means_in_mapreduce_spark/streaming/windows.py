@@ -260,7 +260,14 @@ def stream_dedup_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, so state is bounded by keys-per-hour, not stream length —
     without an event-time column in the dedup key the state would grow
     forever. Output is the distinct key set, which is order-independent
-    and therefore exactly the batch DISTINCT (oracle)."""
+    and therefore exactly the batch DISTINCT (oracle) WHEN every
+    duplicate arrives within the watermark horizon of its first
+    occurrence — that bounded-lateness contract is precisely what the
+    eviction trades for bounded state: a duplicate arriving after its
+    key was evicted re-emits, and a key wholly later than the watermark
+    is dropped. The single-file replay here satisfies the contract by
+    construction; a deployment sizes the horizon to its real dedup
+    window (e.g. the producer's max retry delay)."""
     ev = read_events_stream(spark, sf_dir)
     keys = (
         ev.select(

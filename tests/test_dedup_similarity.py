@@ -231,7 +231,11 @@ def test_quantize_int8_numpy_parity_and_error_bound(spark):
         if scale == 0:
             assert row.q_checksum == 0
             continue
-        codes = np.round((x - mn) / scale)
+        # floor(q + 0.5), not np.round: the engine (Spark round = HALF_UP)
+        # and DuckDB (ties away from zero) both round .5 UP for the
+        # non-negative quotients here; np.round's half-to-even would
+        # disagree on exact-.5 dyadic values
+        codes = np.floor((x - mn) / scale + 0.5)
         assert codes.min() >= 0 and codes.max() <= 255
         assert row.q_checksum == int(codes.sum())
         err = np.abs(x - (codes * scale + mn))

@@ -183,7 +183,13 @@ def test_cli_reference_invocation(spark, tmp_path):
 
     report = json.load(open(os.path.join(out, "_run_report.json")))
     assert report["k"] == 4 and report["iterations"] >= 1
-    assert os.path.exists(os.path.join(out, "outputsLog.txt"))
+    # the cumulative log lives BESIDE the output dir (the overwrite sink
+    # wipes the dir itself each run) and appends across runs
+    log_path = str(tmp_path / "outputsLog.txt")
+    assert os.path.exists(log_path)
+    n_lines_1 = len(open(log_path).read().splitlines())
+    assert main([inp, "4", "10", out, "64", "0.001", "4"]) == 0
+    assert len(open(log_path).read().splitlines()) == n_lines_1 + 1
 
     # bad invocations fail fast with the reference's arg contract
     assert main(["onlyone"]) == 2
