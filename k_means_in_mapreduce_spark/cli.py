@@ -65,11 +65,8 @@ def main(argv: list[str] | None = None) -> int:
         print(f"arguments must be positive\n{USAGE}", file=sys.stderr)
         return 2
 
-    from pyspark.sql import functions as F
-
-    from .operators.kmeans_df import KMeansConfig, fit
     from .session import get_session
-    from .sources.text_points import format_points, parse_points
+    from .sources.text_points import parse_points
 
     seed = int(os.environ.get("SPARK_GRAFT_SEED", "42"))
     method = os.environ.get("SPARK_GRAFT_KMEANS_METHOD", "arrow")
@@ -81,7 +78,23 @@ def main(argv: list[str] | None = None) -> int:
     # num_reducer mapping unconditionally (KMeans.java:133)
     spark.conf.set("spark.sql.shuffle.partitions", str(num_reducer))
 
+    # try/finally: the validation early-return path must also release the
+    # cached input — in embedded/notebook sessions the SparkSession
+    # outlives this call, so a missed unpersist pins storage for the
+    # session lifetime
     pts = parse_points(spark, inp).cache()
+    try:
+        return _run_fit(pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out)
+    finally:
+        pts.unpersist()
+
+
+def _run_fit(pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.kmeans_df import KMeansConfig, fit
+    from .sources.text_points import format_points
+
     bad = pts.filter(F.size("features") != dim).count()
     if bad:
         print(
@@ -133,5 +146,4 @@ def main(argv: list[str] | None = None) -> int:
             f"final_movement={report['final_movement']} "
             f"wall_sec={report['wall_sec']:.3f}\n"
         )
-    pts.unpersist()
     return 0

@@ -98,6 +98,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rare shingle; tests/test_dedup_similarity.py pins this with a synthetic
 # hot shingle. Scoring stays exact (array_intersect over full shingle
 # sets), so found pairs carry the true Jaccard either way.
+#
+# Hashed-vs-raw df asymmetry: the engine counts df over xxhash64(shingle)
+# posting lists while the oracle counts raw shingle strings — a 64-bit
+# collision merging two posting lists could push the engine's df over the
+# cap (or a doc pair across it) and diverge the candidate sets. Accepted
+# residual risk, same order as the checksum collision accepted in
+# connected_components_star (~n²/2⁶⁴).
 HOT_SHINGLE_DF_CAP = 1000
 
 # NOTE: the oracle mirrors the engine's df-cap (HOT_SHINGLE_DF_CAP)

@@ -29,6 +29,12 @@ from ..sources import load_table
 
 TOP_K = 10
 QUERY_VEC_ID = 0
+# k-NN-join population contract, shared by the exact oracle SQL and every
+# approximate variant's DataFrame code: query sample = vec_id < MAX_ID,
+# neighbors kept = top KNN_JOIN_K. Lifted to constants so the recall tests
+# can never silently compare mismatched populations.
+KNN_JOIN_QUERY_MAX_ID = 20
+KNN_JOIN_K = 5
 LSH_TABLES = 16  # L independent hash tables...
 LSH_PLANES = 4  # ...of k hyperplanes each: P(candidate) = 1-(1-p^k)^L
 DIM = 64
@@ -93,7 +99,8 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_knn_join_exact",
     f"""
     WITH sample_q AS (
-        SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {KNN_JOIN_QUERY_MAX_ID}
     ),
     scored AS (
         SELECT s.qid, e.vec_id,
@@ -110,15 +117,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
         FROM scored
     )
-    SELECT qid, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+    SELECT qid, vec_id, cos_sim, rk FROM ranked WHERE rk <= {KNN_JOIN_K}
     """,
 )
 def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-NN for each of 20 sample query vectors: broadcast the query
-    side, score with codegen'd expressions, per-query top-k via window."""
+    """Exact KNN_JOIN_K-NN for each sample query vector: broadcast the
+    query side, score with codegen'd expressions, per-query top-k via
+    window."""
     e = load_table(spark, sf_dir, "embeddings")
     q = (
-        e.filter(F.col("vec_id") < 20)
+        e.filter(F.col("vec_id") < KNN_JOIN_QUERY_MAX_ID)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     )
     scored = (
@@ -128,7 +136,7 @@ def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+        .filter(F.col("rk") <= KNN_JOIN_K)
         .select("qid", "vec_id", "cos_sim", "rk")
     )
 
@@ -318,7 +326,7 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, cells_dir = build_ivf_index(spark, sf_dir)
     idx = spark.read.parquet(cells_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 20).select(
+    q = e.filter(F.col("vec_id") < KNN_JOIN_QUERY_MAX_ID).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qe"),
     )
@@ -344,7 +352,7 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
+        .filter(F.col("rk") <= KNN_JOIN_K)
         .select("qid", "vec_id", "cos_sim", "rk")
     )
 

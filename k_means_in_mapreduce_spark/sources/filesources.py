@@ -43,8 +43,14 @@ def source_fingerprint(path: str) -> str:
     if os.path.isdir(path):
         for dirpath, _, files in sorted(os.walk(path)):
             for fn in sorted(files):
-                st = os.stat(os.path.join(dirpath, fn))
-                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                # path RELATIVE to the fingerprinted root, not basename: a
+                # data file moved across subdirectories (rename preserves
+                # mtime) must change the fingerprint, or a stale bucketed
+                # copy / IVF index would be silently reused
+                rel = os.path.relpath(full, path)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     else:
         st = os.stat(path)
         parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
