@@ -733,3 +733,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(block_sim, "vec_a bigint, vec_b bigint, cos_sim double")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-expressible recall metrics for the approximate dedup paths
+# ---------------------------------------------------------------------------
+# Same pattern as the ANN recall queries (operators/similarity.py): the
+# sketch outputs themselves aren't SQL-computable, but their recall against
+# the exact Jaccard truth IS — the truth set is _JACCARD_SQL (the oracle's
+# own query), n_true_pairs binds exactly, and the bound booleans are
+# scalars the gate hash covers. Bounds carry margin under measured values
+# (both MinHash variants recover 25/25 true pairs at sf0.01; SimHash max
+# hamming over true pairs is 11 of 63 bits vs ~31.5 expected for random
+# pairs) so a testdata regeneration can't flip them; the tight values are
+# pinned by tests/test_dedup_similarity.py.
+MINHASH_RECALL_MIN_PCT = 80
+SIMHASH_TRUE_PAIR_MAX_HAMMING = 24
+
+
+def _pair_recall(true_pairs: DataFrame, found: DataFrame, min_pct: int) -> DataFrame:
+    t = true_pairs.select("doc_a", "doc_b", F.lit(1).alias("_t"))
+    # distinct: a candidate generator emitting a pair twice must not
+    # duplicate truth rows through the left join (n_true_pairs inflates)
+    f = found.select("doc_a", "doc_b").distinct().withColumn("_f", F.lit(1))
+    j = t.join(f, ["doc_a", "doc_b"], "left_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        (
+            F.coalesce(F.sum(F.col("_t") * F.col("_f")), F.lit(0)) * 100
+            >= F.count(F.lit(1)) * min_pct
+        ).alias("recall_ok"),
+    )
+
+
+_PAIR_RECALL_ORACLE = f"""
+    WITH tp AS ( {_JACCARD_SQL} )
+    SELECT count(*) AS n_true_pairs, true AS recall_ok FROM tp
+"""
+
+
+@query("dedup_minhash_lsh_recall", _PAIR_RECALL_ORACLE)
+def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the expression-built MinHash-LSH candidates against the
+    exact n-gram Jaccard truth (>= threshold pairs). n_true_pairs binds
+    exactly; recall bound >= MINHASH_RECALL_MIN_PCT% (measured 100%)."""
+    truth = jaccard_pairs(_shingled(spark, sf_dir))
+    found = dedup_minhash_lsh(spark, sf_dir)
+    return _pair_recall(truth, found, MINHASH_RECALL_MIN_PCT)
+
+
+@query("dedup_minhash_mllib_recall", _PAIR_RECALL_ORACLE)
+def dedup_minhash_mllib_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MLlib MinHashLSH approxSimilarityJoin pairs against
+    the exact Jaccard truth — same contract as the expression variant."""
+    truth = jaccard_pairs(_shingled(spark, sf_dir))
+    found = dedup_minhash_mllib(spark, sf_dir)
+    return _pair_recall(truth, found, MINHASH_RECALL_MIN_PCT)
+
+
+@query(
+    "dedup_simhash_recall",
+    f"""
+    WITH tp AS ( {_JACCARD_SQL} )
+    SELECT count(*) AS n_true_pairs, true AS hamming_ok FROM tp
+    """,
+)
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash separation claim over the exact near-dup truth set: EVERY
+    true >= 0.6-Jaccard pair's fingerprints are within
+    SIMHASH_TRUE_PAIR_MAX_HAMMING of 63 bits (measured max 11; random
+    pairs center at ~31.5), i.e. a hamming-radius candidate filter at
+    that threshold loses no true pair. n_true_pairs binds exactly."""
+    truth = jaccard_pairs(_shingled(spark, sf_dir)).select("doc_a", "doc_b")
+    sh = dedup_simhash(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        truth.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            # coalesce: every() over zero rows is NULL; an empty truth set
+            # vacuously satisfies the bound (matches the oracle's `true`)
+            F.coalesce(
+                F.every(ham <= SIMHASH_TRUE_PAIR_MAX_HAMMING), F.lit(True)
+            ).alias("hamming_ok"),
+        )
+    )

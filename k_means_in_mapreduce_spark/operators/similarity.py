@@ -473,3 +473,113 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, "vec_id bigint, cos_sim double"
     )
     return cands.orderBy(F.desc("cos_sim"), "vec_id").limit(TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-expressible recall metrics for the approximate ANN paths
+# ---------------------------------------------------------------------------
+# The approximate queries themselves can't be oracled (DuckDB can't run the
+# IVF index or the LSH tables), but their RECALL against the exact SQL
+# baseline can: both sides are deterministic (seeded quantizer, fixed
+# hyperplanes, static data), the exact side is the same SQL the oracle
+# runs, and the claim "overlap >= bound" is a scalar the gate hash binds.
+# Bounds carry wide margin under the measured values at sf0.001/sf0.01
+# (IVF top-10 overlap 8/10, LSH 10/10, IVF kNN-join 72/100) — they assert
+# "the index works", not the exact overlap, so a testdata regeneration
+# can't flip them while the in-repo recall tests pin the tight values.
+IVF_RECALL_MIN_AT_10 = 6
+LSH_RECALL_MIN_AT_10 = 7
+KNN_JOIN_RECALL_MIN_PCT = 55
+
+
+def _topk_recall(exact: DataFrame, approx: DataFrame, min_overlap: int) -> DataFrame:
+    ex = exact.select("vec_id", F.lit(1).alias("_e"))
+    ap = approx.select("vec_id", F.lit(1).alias("_a"))
+    j = ex.join(ap, "vec_id", "full_outer")
+    return j.agg(
+        F.sum("_e").alias("n_exact"),
+        F.sum("_a").alias("n_approx"),
+        (
+            F.coalesce(F.sum(F.col("_e") * F.col("_a")), F.lit(0))
+            >= min_overlap
+        ).alias("recall_ok"),
+    ).select(F.lit(TOP_K).alias("k"), "*")
+
+
+_TOPK_RECALL_ORACLE = f"""
+    SELECT CAST({TOP_K} AS INT) AS k, CAST({TOP_K} AS BIGINT) AS n_exact,
+           CAST({TOP_K} AS BIGINT) AS n_approx, true AS recall_ok
+"""
+
+
+@query("ann_ivf_recall_at_10", _TOPK_RECALL_ORACLE)
+def ann_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe vs the exact cosine top-10 (same query
+    vector, same tie-break). Binds both result sizes exactly and the
+    overlap >= IVF_RECALL_MIN_AT_10 claim; the tight observed overlap is
+    pinned by tests/test_dedup_similarity.py."""
+    return _topk_recall(
+        ann_bruteforce_topk(spark, sf_dir),
+        ann_ivf_topk(spark, sf_dir),
+        IVF_RECALL_MIN_AT_10,
+    )
+
+
+@query("ann_lsh_recall_at_10", _TOPK_RECALL_ORACLE)
+def ann_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the multi-table hyperplane LSH probe vs the exact
+    cosine top-10 (measured 10/10 at sf0.001/sf0.01; bound leaves margin)."""
+    return _topk_recall(
+        ann_bruteforce_topk(spark, sf_dir),
+        ann_lsh_topk(spark, sf_dir),
+        LSH_RECALL_MIN_AT_10,
+    )
+
+
+@query(
+    "ann_ivf_knn_join_recall",
+    f"""
+    WITH sample_q AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < {KNN_JOIN_QUERY_MAX_ID}
+    ),
+    scored AS (
+        SELECT s.qid, e.vec_id,
+               sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(s.qe[t.i] AS DOUBLE))
+                 / (sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)))
+                    * sqrt(sum(CAST(s.qe[t.i] AS DOUBLE) * CAST(s.qe[t.i] AS DOUBLE))))
+                 AS cos_sim
+        FROM embeddings e CROSS JOIN sample_q s CROSS JOIN range(1, {DIM + 1}) t(i)
+        WHERE e.vec_id != s.qid
+        GROUP BY s.qid, e.vec_id
+    ),
+    ex AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk
+            FROM scored
+        ) WHERE rk <= {KNN_JOIN_K}
+    )
+    SELECT count(*) AS n_exact, true AS recall_ok FROM ex
+    """,
+)
+def ann_ivf_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch recall of the IVF k-NN join vs the exact crossJoin baseline:
+    fraction of exact (qid, neighbor) pairs the index recovers across the
+    whole query sample. n_exact is bound exactly (the oracle counts its
+    own exact top-k); the recall claim (>= KNN_JOIN_RECALL_MIN_PCT%,
+    measured 72-74%) is the scalar the gate hash binds."""
+    ex = ann_knn_join_exact(spark, sf_dir).select(
+        "qid", "vec_id", F.lit(1).alias("_e")
+    )
+    ap = ann_ivf_knn_join(spark, sf_dir).select(
+        "qid", "vec_id", F.lit(1).alias("_a")
+    )
+    j = ex.join(ap, ["qid", "vec_id"], "left_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        (
+            F.coalesce(F.sum(F.col("_e") * F.col("_a")), F.lit(0)) * 100
+            >= F.count(F.lit(1)) * KNN_JOIN_RECALL_MIN_PCT
+        ).alias("recall_ok"),
+    )

@@ -171,6 +171,49 @@ def lineitem_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# GK-sketch error-bound claim, oracle-expressible: the exact interpolated
+# quantiles bind bit-for-bit (exact_quantiles already matches DuckDB
+# quantile_cont — see lineitem_price_quantiles), and the sketch values'
+# relative deviation claim is a boolean per quantile. accuracy=10000 puts
+# the rank error at n/10000 (~2 rows at sf0.01); measured relative value
+# error <= 0.4% — the 2% bound has 5x margin.
+GK_REL_ERROR_BOUND = 0.02
+
+
+@query(
+    "lineitem_price_quantiles_bound",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75,
+           true AS approx_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles (externally verified values) + the claim that the
+    Greenwald-Khanna ``approx_percentile`` sketch lands within
+    GK_REL_ERROR_BOUND of each: one green row binds BOTH the exact CDF
+    machinery and the sketch's error contract."""
+    exact = lineitem_price_quantiles(spark, sf_dir)
+    approx = lineitem_price_quantiles_approx(spark, sf_dir).select(
+        "l_returnflag", "p25_approx", "p50_approx", "p75_approx"
+    )
+    j = exact.join(approx, "l_returnflag")
+    within = None
+    for p in ("p25", "p50", "p75"):
+        ok = F.abs(F.col(f"{p}_approx") - F.col(p)) <= F.abs(
+            F.col(p)
+        ) * GK_REL_ERROR_BOUND
+        within = ok if within is None else (within & ok)
+    return j.select(
+        "l_returnflag", "n_rows", "p25", "p50", "p75",
+        within.alias("approx_within_bound"),
+    )
+
+
 @query(
     "orders_price_moments",
     """
@@ -269,6 +312,42 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+# HLL error-bound claim, oracle-expressible (pattern of the ANN/dedup
+# recall metrics): the exact cardinality binds bit-for-bit (DuckDB counts
+# it too), and the sketch's deviation claim is a boolean the gate hash
+# covers. rsd=0.02 and a 5x margin (measured deviation at sf0.001/sf0.01:
+# exactly 0) make the bound unflippable by a testdata regeneration.
+HLL_REL_ERROR_BOUND = 0.10
+
+
+@query(
+    "events_distinct_users_hll_bound",
+    f"""
+    SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+           true AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def events_distinct_users_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL-vs-exact deviation check: |approx − exact| <=
+    HLL_REL_ERROR_BOUND · exact for every event_type. The exact counts
+    are externally verified; the tight 5% assertion lives in
+    tests/test_extensions.py."""
+    exact = events_distinct_users(spark, sf_dir).withColumnRenamed(
+        "n_users", "n_users_exact"
+    )
+    approx = events_distinct_users_hll(spark, sf_dir)
+    j = exact.join(approx, "event_type")
+    dev = F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+    return j.select(
+        "event_type",
+        "n_users_exact",
+        (dev <= F.col("n_users_exact") * HLL_REL_ERROR_BOUND).alias(
+            "within_bound"
+        ),
     )
 
 
