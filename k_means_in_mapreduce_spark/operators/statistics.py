@@ -46,6 +46,12 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Value-range buckets for the distributed CDF in exact_quantiles: each
+# (key, bucket) running-sum task handles ~1/CDF_BUCKETS of the group's
+# distinct values. At cluster scale set ~ parallelism.
+CDF_BUCKETS = 32
+
+
 def exact_quantiles(
     df: DataFrame,
     key_col: str,
@@ -78,16 +84,75 @@ def exact_quantiles(
     ``(key_col, n_rows, *quantiles.keys())``. ~2x faster than
     ``percentile`` at sf0.1 and bounded-memory at any scale; the sketch
     alternative for when exactness isn't required is ``approx_percentile``
-    (see ``lineitem_price_quantiles_approx``)."""
+    (see ``lineitem_price_quantiles_approx``).
+
+    The running sum in step 2 is DISTRIBUTED, not one window task per
+    group (a near-continuous value column at 100 TB would funnel each
+    group's ~n distinct values through a single sort task). Classic
+    two-pass range-partitioned CDF:
+
+      2a. bucket each (key, value) row by value range — split points from
+          a coarse ``approx_percentile`` per key (any monotone bucketing
+          works; equi-depth keeps buckets balanced under skew);
+      2b. per-(key, bucket) totals -> running offsets over the tiny
+          (key × CDF_BUCKETS) grid — a window over <= CDF_BUCKETS rows
+          per key, bounded state regardless of n;
+      2c. running sum WITHIN each (key, bucket) — parallel across
+          buckets; ``cum = bucket_offset + local running sum``.
+
+    Buckets scale like shuffle partitions (CDF_BUCKETS is a constant
+    here; at real scale set it ~ cluster parallelism), so no task ever
+    sorts more than ~1/CDF_BUCKETS of a group."""
     from pyspark.sql import Window as W
 
+    counts = df.groupBy(key_col, val_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # 2a: per-key equi-depth split points (approximate is fine — ANY
+    # assignment monotone in value yields a correct CDF; accuracy only
+    # affects balance). CDF_BUCKETS-1 interior cut points per key.
+    splits = df.groupBy(key_col).agg(
+        F.approx_percentile(
+            val_col,
+            F.array(
+                *[
+                    F.lit(i / CDF_BUCKETS)
+                    for i in range(1, CDF_BUCKETS)
+                ]
+            ),
+            F.lit(100),
+        ).alias("_splits")
+    )
+    # bucket id = number of split points strictly below the value — a
+    # narrow map after a broadcast join of the k×(B-1) split table
+    bucketed = counts.join(F.broadcast(splits), key_col).withColumn(
+        "_bkt",
+        F.size(F.filter("_splits", lambda s: s < F.col(val_col))),
+    )
+    # 2b: per-bucket totals -> exclusive running offset per (key, bucket);
+    # window over <= CDF_BUCKETS rows per key — bounded driver-of-skew-free
+    # state at any n
+    btot = bucketed.groupBy(key_col, "_bkt").agg(F.sum("cnt").alias("_btot"))
+    boff = btot.withColumn(
+        "_boff",
+        F.coalesce(
+            F.sum("_btot").over(
+                W.partitionBy(key_col)
+                .orderBy("_bkt")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(key_col, "_bkt", "_boff")
+    # 2c: local running sum within the bucket + the bucket's offset
     cdf = (
-        df.groupBy(key_col, val_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        bucketed.join(boff, [key_col, "_bkt"])
         .withColumn(
             "cum",
-            F.sum("cnt").over(W.partitionBy(key_col).orderBy(val_col)),
+            F.col("_boff")
+            + F.sum("cnt").over(
+                W.partitionBy(key_col, "_bkt").orderBy(val_col)
+            ),
         )
+        .drop("_splits", "_bkt", "_boff")
     )
     n = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
     qcol = F.explode(

@@ -300,3 +300,21 @@ def test_run_report_shape(spark):
     rep = model.report()
     assert rep["iterations"] == 2 and rep["k"] == 3 and rep["dim"] == 64
     assert rep["wall_sec"] > 0 and len(rep["movement_history"]) == 2
+
+
+def test_exact_quantiles_cdf_window_is_range_distributed(spark):
+    """The CDF running sum must partition by (key, value-range bucket),
+    never by key alone — a key-only window funnels each group's whole
+    distinct-value set through one sort task at 100 TB. The only
+    key-partitioned window allowed is the bucket-offset pass over the
+    <= CDF_BUCKETS-row per-key grid."""
+    import re
+
+    df = registry.QUERIES["lineitem_price_quantiles"](spark, SF001)
+    plan = explain_string(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # every window over the value column must also partition by _bkt
+    for s in specs:
+        if "l_extendedprice" in s:
+            assert "_bkt" in s, s
