@@ -86,21 +86,29 @@ def bench_kmeans_iteration(spark) -> dict:
     K.cluster_features_arrow(pts, K.sample_initial_centroids(
         pts, BENCH_K, 42, "embedding"), "embedding")
 
+    # Median of 3 fits per method: same-code spread across runs reached
+    # 2.6x in round 3 (GC pauses, codegen compile landing inside the timed
+    # region), which masked real round-over-round deltas.  The median is
+    # robust to one bad run in either direction.
     out = {"n": n}
     for method in ("arrow", "expr"):
-        t0 = time.monotonic()
-        model = K.fit(
-            pts,
-            K.KMeansConfig(
-                k=BENCH_K, max_iter=BENCH_ITERS, tol=0.0, seed=42, method=method
-            ),
-        )
-        wall = time.monotonic() - t0
-        iters = max(1, model.n_iter)
+        walls, iters = [], 1
+        for _ in range(BENCH_REPEATS):
+            t0 = time.monotonic()
+            model = K.fit(
+                pts,
+                K.KMeansConfig(
+                    k=BENCH_K, max_iter=BENCH_ITERS, tol=0.0, seed=42, method=method
+                ),
+            )
+            walls.append(time.monotonic() - t0)
+            iters = max(1, model.n_iter)
+        wall = statistics.median(walls)
         out[method] = {
             "iterations": iters,
             "sec_per_iter": wall / iters,
             "wall": wall,
+            "spread": [round(w, 3) for w in sorted(walls)],
         }
 
     # Production path (MLlib KMeans, random init so iteration count is the
@@ -108,14 +116,22 @@ def bench_kmeans_iteration(spark) -> dict:
     # tol=0 runs exactly BENCH_ITERS Lloyd iterations like the paths above).
     from k_means_in_mapreduce_spark.operators.kmeans_mllib import fit_mllib
 
-    t0 = time.monotonic()
-    res = fit_mllib(
-        pts, k=BENCH_K, max_iter=BENCH_ITERS, seed=42, tol=0.0,
-        init_mode="random",
-    )
-    wall = time.monotonic() - t0
-    iters = max(1, res.n_iter)
-    out["mllib"] = {"iterations": iters, "sec_per_iter": wall / iters, "wall": wall}
+    walls, iters = [], 1
+    for _ in range(BENCH_REPEATS):
+        t0 = time.monotonic()
+        res = fit_mllib(
+            pts, k=BENCH_K, max_iter=BENCH_ITERS, seed=42, tol=0.0,
+            init_mode="random",
+        )
+        walls.append(time.monotonic() - t0)
+        iters = max(1, res.n_iter)
+    wall = statistics.median(walls)
+    out["mllib"] = {
+        "iterations": iters,
+        "sec_per_iter": wall / iters,
+        "wall": wall,
+        "spread": [round(w, 3) for w in sorted(walls)],
+    }
 
     pts.unpersist()
     return out

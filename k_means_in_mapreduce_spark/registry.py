@@ -32,67 +32,66 @@ ORACLES: dict[str, str] = {}
 # The driver's correctness gate checks a bounded window of ~50 queries per
 # round, in registration order.  ``ordered_queries()`` therefore leads with
 # the queries whose CURRENT implementation has never produced a CORRECTNESS
-# row: (a) queries fixed or added this round, (b) queries whose code was
-# rewritten AFTER their last green row (round-2 rewrote the dedup/ann family
-# after its r1 rows — re-gate it with the current code), then (c) queries
-# whose only row predates round 2 (unchanged, but re-confirmed while window
-# budget allows).  Previously green-and-unchanged queries backfill last.
+# row: (a) queries added this round (the round-4 oracle-bound recall/error
+# metrics for the approximate families, plus the IVF-bucketed embedding
+# near-dup), (b) queries whose code was rewritten AFTER their last green row
+# (the distributed-CDF rewrite of ``exact_quantiles``), then (c) the rows
+# whose only green predates round 3 (unchanged, re-confirmed while window
+# budget allows).  Previously green-and-unchanged r3 rows backfill last.
 PRIORITY_FIRST: list[str] = [
-    # fixed this round (r2 rows were ERR / hash-FAIL)
-    "lineitem_price_quantiles_approx",
-    "orders_price_moments",
-    "bucketed_join_segment_revenue",
-    # new this round (never checked)
-    "ann_ivf_knn_join",
-    "points_random_uniform",
-    "points_text_roundtrip",
-    "docs_pack_sequences",
-    "documents_stratified_sample",
-    "dedup_groups_star",
-    "stream_dedup_clicks",
-    "embeddings_quantize_int8",
-    "corpus_mixture_report",
-    "dedup_rate_by_source",
-    "csv_corrupt_records_audit",
-    "documents_pii_scrub",
-    "events_value_outliers",
-    "stream_static_enriched_purchases",
-    "kmeans_fit_df",
-    "kmeans_fit_mllib",
-    "kmeans_fit_bisecting",
-    "kmeans_fit_gmm",
-    # implementation or oracle changed this round — re-gate current code
-    "dedup_connected_components",
-    "stream_range_error_click",
-    # rewritten in round 2 AFTER their r1 rows — current code never gate-checked
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_mllib",
-    "dedup_simhash",
-    "ann_bruteforce_topk",
-    "ann_knn_join_exact",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    # only r1 rows (unchanged code; re-confirm)
-    "events_trailing_hour_value",
-    "q6_forecast_revenue",
-    "orders_above_twice_cust_avg",
-    "text_token_stats",
-    "text_quality",
-    "text_fingerprint",
-    "text_langid",
-    "multimodal_meta",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "multimodal_resize_plan",
-    "events_asof_last_purchase",
-    "events_range_error_click",
-    "orderkeys_open_or_returned",
-    "custkeys_active_both_years",
-    "custkeys_churned_after_1995",
+    # new in round 4 (never gate-checked)
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf_recall",
+    "dedup_minhash_lsh_recall",
+    "dedup_minhash_mllib_recall",
+    "dedup_simhash_recall",
+    "ann_ivf_recall_at_10",
+    "ann_lsh_recall_at_10",
+    "ann_ivf_knn_join_recall",
+    "lineitem_price_quantiles_bound",
+    "events_distinct_users_hll_bound",
+    # rewritten in round 4 (distributed two-pass CDF) — re-gate current code
+    "lineitem_price_quantiles",
+    # latest green row is r2 — unchanged code, re-confirm oldest-first
+    "kmeans_assign",
+    "kmeans_cluster_sizes",
+    "kmeans_cf_means",
+    "points_text_export_roundtrip",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "top_orders_per_customer",
+    "customer_running_spend",
+    "customers_no_recent_orders",
+    "big_spender_segments",
+    "big_spenders_gone_quiet",
+    "nations_both_sides",
+    "rollup_lineitem_status",
+    "pivot_qty_by_status",
+    "part_catalog_features",
+    "orders_monthly_stats",
+    "events_hourly_by_type",
+    "events_sessionized",
+    "cube_lineitem_flags",
+    "grouping_sets_orders",
+    "events_distinct_users",
+    "events_distinct_users_hll",
+    "events_props_extract",
+    "documents_hash_split",
+    "docs_chunk_for_training",
+    "decontaminate_ngram_overlap",
+    "events_salted_type_totals",
+    "pipeline_training_corpus",
+    "csv_roundtrip_orders_by_status",
+    "json_roundtrip_events_daily",
+    "partitioned_sink_pruned_scan",
+    "orc_roundtrip_lineitem_status",
+    "text_points_ingest",
+    "stream_tumbling_hourly",
+    "stream_sliding_quarter_hour",
+    "stream_session_windows",
+    "stream_kmeans_scoring",
+    "stream_user_running_totals",
 ]
 
 

@@ -14,16 +14,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-tz TimestampType regardless of
+    how the generator wrote it.  Two generator vintages exist:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` the column surfaces as
+      int64 nanos, truncated here to µs with INTEGER division (double
+      division loses precision at 1e18 ns).  DuckDB truncates ns->µs the
+      same way, so the oracle sees identical values.
+    - TIMESTAMP(MICROS) without UTC adjustment: surfaces as
+      TIMESTAMP_NTZ; cast to TimestampType (sessions pin UTC, so the
+      instant and its formatting are unchanged — and identical to what
+      DuckDB reads natively).
+    """
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and truncate to µs with
-        # INTEGER division (double division loses precision at 1e18 ns).
-        # DuckDB's parquet scan truncates ns->µs the same way, so the
-        # oracle sees identical values.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))

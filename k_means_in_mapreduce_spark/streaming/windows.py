@@ -50,15 +50,27 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The stream source needs an explicit schema; probe the actual file's
+    # ts physical type with a batch read (generator vintages differ: int64
+    # nanos vs TIMESTAMP(MICROS) — see sources.tables.normalize_event_ts).
+    from ..sources.tables import normalize_event_ts
+
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = T.StructType(
+        [
+            T.StructField(f.name, probed[f.name].dataType if f.name == "ts" else f.dataType)
+            for f in _EVENTS_RAW_SCHEMA.fields
+        ]
+    )
     # the file source requires a directory: stream the sf dir, filtered
     # down to the events table file
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 # State partitioning for the stateful queries in this module. Unlike batch
