@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,6 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_N = 100_000  # reference benchmark scale (BASELINE.md, Fig 3.1/3.5)
 BENCH_K = 4
 BENCH_ITERS = 5
+BENCH_REPEATS = 3  # median-of-3 per method; see comment in bench_kmeans_iteration
 
 
 def make_spark():

@@ -47,9 +47,19 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Value-range buckets for the distributed CDF in exact_quantiles: each
-# (key, bucket) running-sum task handles ~1/CDF_BUCKETS of the group's
-# distinct values. At cluster scale set ~ parallelism.
-CDF_BUCKETS = 32
+# (key, bucket) running-sum task handles ~1/buckets of the group's
+# distinct values. Floor for small/local runs; scales with the cluster.
+CDF_BUCKETS_MIN = 32
+
+
+def _cdf_buckets(spark: SparkSession) -> int:
+    """Bucket count ~ cluster parallelism, floored at CDF_BUCKETS_MIN.
+
+    On local[32] this is 32 (unchanged plans/tests); on a 1000-executor
+    cluster defaultParallelism rises and every (key, bucket) running-sum
+    task keeps handling ~1/parallelism of each group — the property that
+    makes the CDF sort fan out instead of funneling per group."""
+    return max(CDF_BUCKETS_MIN, spark.sparkContext.defaultParallelism)
 
 
 def exact_quantiles(
@@ -95,27 +105,28 @@ def exact_quantiles(
           a coarse ``approx_percentile`` per key (any monotone bucketing
           works; equi-depth keeps buckets balanced under skew);
       2b. per-(key, bucket) totals -> running offsets over the tiny
-          (key × CDF_BUCKETS) grid — a window over <= CDF_BUCKETS rows
+          (key × n_buckets) grid — a window over <= n_buckets rows
           per key, bounded state regardless of n;
       2c. running sum WITHIN each (key, bucket) — parallel across
           buckets; ``cum = bucket_offset + local running sum``.
 
-    Buckets scale like shuffle partitions (CDF_BUCKETS is a constant
-    here; at real scale set it ~ cluster parallelism), so no task ever
-    sorts more than ~1/CDF_BUCKETS of a group."""
+    The bucket count is derived from the session's defaultParallelism
+    (floored at CDF_BUCKETS_MIN — see ``_cdf_buckets``), so no task ever
+    sorts more than ~1/parallelism of a group at any cluster size."""
     from pyspark.sql import Window as W
 
+    n_buckets = _cdf_buckets(df.sparkSession)
     counts = df.groupBy(key_col, val_col).agg(F.count(F.lit(1)).alias("cnt"))
     # 2a: per-key equi-depth split points (approximate is fine — ANY
     # assignment monotone in value yields a correct CDF; accuracy only
-    # affects balance). CDF_BUCKETS-1 interior cut points per key.
+    # affects balance). n_buckets-1 interior cut points per key.
     splits = df.groupBy(key_col).agg(
         F.approx_percentile(
             val_col,
             F.array(
                 *[
-                    F.lit(i / CDF_BUCKETS)
-                    for i in range(1, CDF_BUCKETS)
+                    F.lit(i / n_buckets)
+                    for i in range(1, n_buckets)
                 ]
             ),
             F.lit(100),
@@ -128,7 +139,7 @@ def exact_quantiles(
         F.size(F.filter("_splits", lambda s: s < F.col(val_col))),
     )
     # 2b: per-bucket totals -> exclusive running offset per (key, bucket);
-    # window over <= CDF_BUCKETS rows per key — bounded driver-of-skew-free
+    # window over <= n_buckets rows per key — bounded driver-of-skew-free
     # state at any n
     btot = bucketed.groupBy(key_col, "_bkt").agg(F.sum("cnt").alias("_btot"))
     boff = btot.withColumn(

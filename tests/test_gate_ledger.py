@@ -1,0 +1,78 @@
+"""Gate-ledger ordering: never-checked first, changed-since-green second,
+oldest-green third — the derived replacement for the hand-written priority
+list that let 7 stale events queries slip the round-4 window."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from k_means_in_mapreduce_spark import gate_ledger as gl
+from k_means_in_mapreduce_spark import registry
+
+
+def test_transitive_files_capture_shared_readers():
+    # The exact r4 incident: events queries live in operators/asof.py but
+    # read through sources/tables.py (normalize_event_ts). A change to the
+    # shared reader must change the asof module's fingerprint.
+    files = gl.transitive_files("k_means_in_mapreduce_spark.operators.asof")
+    rels = {os.path.relpath(f, gl.PKG_DIR) for f in files}
+    assert "operators/asof.py" in rels
+    assert "sources/tables.py" in rels
+
+
+def test_registry_fingerprint_excludes_extension_modules():
+    # Registration side-effects (importlib loop) must NOT make every
+    # registry-defined query depend on the whole package.
+    files = gl.transitive_files("k_means_in_mapreduce_spark.registry")
+    rels = {os.path.relpath(f, gl.PKG_DIR) for f in files}
+    assert "operators/kmeans_df.py" in rels  # genuine dependency
+    assert "operators/dedup.py" not in rels  # registration-only
+    assert "gate_ledger.py" not in rels  # ordering logic, not behavior
+
+
+def test_derive_order_tiers(tmp_path, monkeypatch):
+    fake_queries = dict.fromkeys(["q_new", "q_changed", "q_old", "q_fresh"])
+
+    class FakeFn:
+        __module__ = "k_means_in_mapreduce_spark.registry"
+
+    for k in fake_queries:
+        fake_queries[k] = FakeFn()
+
+    fp = gl.module_fingerprint("k_means_in_mapreduce_spark.registry")
+    ledger = {
+        "rounds_seen": [],
+        "queries": {
+            # q_new: absent (never checked)
+            "q_changed": {"last_checked_round": 4, "fingerprint": "stale-hash"},
+            "q_old": {"last_checked_round": 2, "fingerprint": fp},
+            "q_fresh": {"last_checked_round": 4, "fingerprint": fp},
+        },
+    }
+    path = tmp_path / "GATE_LEDGER.json"
+    path.write_text(json.dumps(ledger))
+    monkeypatch.setattr(gl, "LEDGER_PATH", str(path))
+    assert gl.derive_order(fake_queries) == ["q_new", "q_changed", "q_old", "q_fresh"]
+
+
+def test_ledger_on_disk_covers_all_queries():
+    # The committed ledger must have a row for every registered query except
+    # ones added after the last incorporated round (those rank tier-0).
+    ledger = gl.load_ledger()
+    assert ledger["rounds_seen"], "GATE_LEDGER.json missing or empty"
+    known = set(ledger["queries"])
+    assert known <= set(registry.QUERIES), "ledger references unknown queries"
+
+
+def test_ordered_queries_leads_with_override_then_unchecked():
+    order = list(registry.ordered_queries())
+    n_over = len(registry.PRIORITY_OVERRIDE)
+    assert order[:n_over] == registry.PRIORITY_OVERRIDE
+    assert set(order) == set(registry.QUERIES)
+    # Any query with no ledger row must appear before all clean+checked rows.
+    ledger = gl.load_ledger()
+    unchecked = [n for n in order if n not in ledger["queries"]]
+    if unchecked:
+        last_unchecked = max(order.index(n) for n in unchecked)
+        assert last_unchecked < len(order) - 1 or len(unchecked) == len(order)

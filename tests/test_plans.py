@@ -49,14 +49,19 @@ def test_kmeans_assign_no_shuffle(spark):
     assert count_exchanges(df) == 0, explain_string(df)
 
 
-def test_kmeans_cf_single_shuffle_and_no_python(spark):
-    """Assign + CF agg: exactly one shuffle (k groups), whole pipeline
-    JVM-side (no BatchEvalPython / ArrowEvalPython operators)."""
+def test_kmeans_cf_shuffles_and_no_python(spark):
+    """Assign + CF agg: the data-sized stage ends at ONE partial-agg
+    exchange of O(tasks·k·d) rows; the only other exchange reassembles the
+    k·d (cluster, dim) grid into k arrays — its input is k·d rows
+    regardless of n, so it stays free at 100 TB. Whole pipeline JVM-side
+    (no BatchEvalPython / ArrowEvalPython operators)."""
     emb = load_table(spark, SF001, "embeddings")
     cents = registry._fixed_centroids(spark, SF001)
     df = K.cluster_features(K.assign_clusters(emb, cents), 64)
     plan = explain_string(df)
-    assert count_exchanges(df) == 1, plan
+    assert count_exchanges(df) == 2, plan
+    # partial aggregation (map-side combine) must precede both exchanges
+    assert plan.count("HashAggregate") >= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
