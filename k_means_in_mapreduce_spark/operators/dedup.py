@@ -243,7 +243,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor, including ones where boilerplate shingles exceed the cap.
     The cap's recall trade-off itself is pinned by the synthetic
     hot-shingle test in tests/test_dedup_similarity.py."""
-    return jaccard_pairs(_shingled(spark, sf_dir))
+    return near_dup_pairs(spark, sf_dir)
+
+
+# In-process memo: abs(sf_dir) -> (source fingerprint, pairs parquet path).
+_PAIRS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once exact near-dup pair list (same pattern as
+    ``similarity.build_ivf_index``): :func:`jaccard_pairs` is the
+    upstream of SIX consumers — the pair query itself, both
+    connected-component groupings, and the three recall metrics — and
+    recomputing the shingle -> posting -> verify pipeline for each is the
+    single largest redundant cost in the dedup family. The pair set is a
+    deterministic function of (documents.parquet, NGRAM_N, df-cap,
+    threshold), so it is computed once per source and persisted as a
+    scratch parquet keyed on the source content fingerprint + parameters;
+    any change rebuilds, never silently reuses.
+
+    This mirrors what a 100 TB pipeline does anyway: the pair list is a
+    first-class materialized artifact (it feeds grouping, audit metrics,
+    and keeper selection), not an ephemeral subquery."""
+    import json
+    import os
+
+    from ..sources.filesources import _scratch, source_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = source_fingerprint(src)
+    key = os.path.abspath(sf_dir)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is None or hit[0] != fp:
+        root = _scratch(sf_dir, "jaccard_pairs")
+        data_dir = os.path.join(root, "pairs")
+        meta_file = os.path.join(root, "meta.json")
+        fresh = False
+        if os.path.exists(meta_file) and os.path.exists(
+            os.path.join(data_dir, "_SUCCESS")
+        ):
+            with open(meta_file) as fh:
+                meta = json.load(fh)
+            fresh = (
+                meta.get("fingerprint") == fp
+                and meta.get("ngram_n") == NGRAM_N
+                and meta.get("df_cap") == HOT_SHINGLE_DF_CAP
+                and meta.get("threshold") == JACCARD_THRESHOLD
+            )
+        if not fresh:
+            jaccard_pairs(_shingled(spark, sf_dir)).write.mode(
+                "overwrite"
+            ).parquet(data_dir)
+            os.makedirs(root, exist_ok=True)
+            tmp = meta_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "fingerprint": fp,
+                        "ngram_n": NGRAM_N,
+                        "df_cap": HOT_SHINGLE_DF_CAP,
+                        "threshold": JACCARD_THRESHOLD,
+                    },
+                    fh,
+                )
+            os.replace(tmp, meta_file)  # atomic, like the IVF index
+        _PAIRS_CACHE[key] = (fp, data_dir)
+    return spark.read.parquet(_PAIRS_CACHE[key][1])
 
 
 # ---------------------------------------------------------------------------
@@ -434,7 +499,7 @@ def dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — same oracle (recursive-CTE transitive closure) and same
     result as ``dedup_connected_components``, different round complexity:
     this is the variant a 100 TB web-graph-scale dedup actually runs."""
-    pairs = jaccard_pairs(_shingled(spark, sf_dir)).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components_star(pairs)
 
 
@@ -461,7 +526,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     components -> (doc_id, component). The oracle computes the same
     components via a recursive-CTE transitive closure — exact parity
     because both sides consume the identical deterministic pair set."""
-    pairs = jaccard_pairs(_shingled(spark, sf_dir)).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
 
 
@@ -877,7 +942,7 @@ def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the expression-built MinHash-LSH candidates against the
     exact n-gram Jaccard truth (>= threshold pairs). n_true_pairs binds
     exactly; recall bound >= MINHASH_RECALL_MIN_PCT% (measured 100%)."""
-    truth = jaccard_pairs(_shingled(spark, sf_dir))
+    truth = near_dup_pairs(spark, sf_dir)
     found = dedup_minhash_lsh(spark, sf_dir)
     return _pair_recall(truth, found, MINHASH_RECALL_MIN_PCT)
 
@@ -886,7 +951,7 @@ def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_mllib_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the MLlib MinHashLSH approxSimilarityJoin pairs against
     the exact Jaccard truth — same contract as the expression variant."""
-    truth = jaccard_pairs(_shingled(spark, sf_dir))
+    truth = near_dup_pairs(spark, sf_dir)
     found = dedup_minhash_mllib(spark, sf_dir)
     return _pair_recall(truth, found, MINHASH_RECALL_MIN_PCT)
 
@@ -904,7 +969,7 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMHASH_TRUE_PAIR_MAX_HAMMING of 63 bits (measured max 11; random
     pairs center at ~31.5), i.e. a hamming-radius candidate filter at
     that threshold loses no true pair. n_true_pairs binds exactly."""
-    truth = jaccard_pairs(_shingled(spark, sf_dir)).select("doc_a", "doc_b")
+    truth = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sh = dedup_simhash(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))

@@ -6,11 +6,13 @@ struct alongside — the layout a petabyte-scale training pipeline uses
 feature-extraction runs as Arrow-batched ``mapInPandas`` so payload bytes
 cross the JVM<->Python boundary once per batch, never per row.
 
-The container has no image/audio codecs, so the DECODE step is stubbed:
-``decode_media`` raises NotImplementedError, and the pipeline runs with a
-clearly-marked deterministic fake decoder. Everything around the stub —
-schema, partitioning, UDF signatures, Arrow batch shapes — is real and
-tested.
+The decode step is REAL for codec-free public containers — binary PPM
+images, PCM WAV audio, and YUV4MPEG2 raw video are parsed by
+``decode_media`` with nothing beyond the standard library (PIL is an
+optional fallback for compressed images), and ``multimodal_decode_real``
+oracle-checks the parser end-to-end against arithmetically predicted
+header fields. The deterministic ``fake_decode`` twin remains for the
+original text-byte fixture queries.
 
 The blob fixture is synthesized deterministically from ``documents``
 (text bytes as payload, media type assigned by doc_id) so oracles can
@@ -48,15 +50,6 @@ def media_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length(blob).alias("n_bytes"),
             F.col("source").alias("origin"),
         ).alias("meta"),
-    )
-
-
-def decode_media(blob: bytes, media_type: str) -> dict:
-    """Real decoder entry point — requires image/audio codecs not present
-    in this environment."""
-    raise NotImplementedError(
-        "media decoding requires codec libraries (PIL/ffmpeg) not available "
-        "in this container; use fake_decode for plumbing tests"
     )
 
 
@@ -322,4 +315,290 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.greatest(F.lit(1), F.expr("(height * 256) div width")))
         .cast("long")
         .alias("target_h"),
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL codecs — headerful public formats parseable without codec libraries
+# --------------------------------------------------------------------------
+# The container has no PIL/ffmpeg, but three real, publicly-specified
+# uncompressed formats need nothing beyond the standard library:
+#   image: binary PPM (Netpbm P6; P5 greyscale also accepted)
+#   audio: PCM WAV (RIFF; parsed with the stdlib ``wave`` module)
+#   video: YUV4MPEG2 (.y4m, 4:2:0) — mplayer/ffmpeg's raw interchange form
+# ``decode_media`` sniffs magic bytes and parses for real; PIL remains an
+# optional fallback for compressed images (PNG/JPEG) when installed.
+#
+# Everything is defined inside ``_build_codecs`` and captured by closures
+# as LOCAL functions: cloudpickle ships nested functions by value, so the
+# same single implementation runs on executors (which do not have this
+# package on sys.path) and in unit tests — no inline duplicate to drift.
+
+
+def _build_codecs() -> dict:
+    import io
+    import struct
+    import wave
+
+    def encode_ppm(width: int, height: int, fill: int) -> bytes:
+        header = f"P6\n{width} {height}\n255\n".encode()
+        return header + bytes([fill]) * (width * height * 3)
+
+    def encode_wav(sample_rate: int, n_channels: int, n_samples: int,
+                   value: int) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(n_channels)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(
+                struct.pack("<h", value) * (n_samples * n_channels)
+            )
+        return buf.getvalue()
+
+    def encode_y4m(width: int, height: int, n_frames: int, y_fill: int) -> bytes:
+        header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
+        y = bytes([y_fill]) * (width * height)
+        uv = bytes([128]) * ((width // 2) * (height // 2))
+        frame = b"FRAME\n" + y + uv + uv
+        return header + frame * n_frames
+
+    def decode_ppm(blob: bytes) -> dict:
+        # P6 header: magic, width, height, maxval as whitespace-separated
+        # tokens ('#' comments allowed), then one raw RGB triple per pixel.
+        tokens, pos = [], 2
+        while len(tokens) < 3:
+            while pos < len(blob) and blob[pos : pos + 1].isspace():
+                pos += 1
+            if blob[pos : pos + 1] == b"#":
+                pos = blob.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(blob) and not blob[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(blob[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height, maxval = tokens
+        n_ch = 3 if blob[:2] == b"P6" else 1
+        pixels = memoryview(blob)[pos : pos + width * height * n_ch]
+        mean = (sum(pixels) / len(pixels)) if len(pixels) else 0.0
+        return {
+            "width": width, "height": height, "n_frames": 1,
+            "sample_rate": 0, "n_channels": n_ch, "mean_level": mean,
+        }
+
+    def decode_wav(blob: bytes) -> dict:
+        import numpy as np
+
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            n_ch, sw, sr, nf = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(),
+                w.getnframes(),
+            )
+            raw = w.readframes(nf)
+        dt = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+        samples = np.frombuffer(raw, dtype=dt)
+        mean = float(samples.mean()) if samples.size else 0.0
+        return {
+            "width": 0, "height": 0, "n_frames": nf,
+            "sample_rate": sr, "n_channels": n_ch, "mean_level": mean,
+        }
+
+    def decode_y4m(blob: bytes) -> dict:
+        nl = blob.index(b"\n")
+        width = height = None
+        subsampling = "420"
+        for tok in blob[:nl].split()[1:]:
+            tag, val = chr(tok[0]), tok[1:].decode()
+            if tag == "W":
+                width = int(val)
+            elif tag == "H":
+                height = int(val)
+            elif tag == "C":
+                subsampling = val
+        if width is None or height is None:
+            raise ValueError("y4m header missing W/H")
+        uv_size = {
+            "420": (width // 2) * (height // 2),
+            "422": (width // 2) * height,
+            "444": width * height,
+        }[subsampling[:3]]
+        frame_size = width * height + 2 * uv_size
+        pos, n_frames, y_sum = nl + 1, 0, 0
+        while pos < len(blob):
+            if blob[pos : pos + 5] != b"FRAME":
+                raise ValueError(f"bad FRAME marker at byte {pos}")
+            pos = blob.index(b"\n", pos) + 1
+            y_sum += sum(memoryview(blob)[pos : pos + width * height])
+            pos += frame_size
+            n_frames += 1
+        mean = y_sum / (n_frames * width * height) if n_frames else 0.0
+        return {
+            "width": width, "height": height, "n_frames": n_frames,
+            "sample_rate": 0, "n_channels": 3, "mean_level": mean,
+        }
+
+    def decode(blob: bytes, media_type: str | None = None) -> dict:
+        if blob[:2] in (b"P6", b"P5"):
+            return decode_ppm(blob)
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            return decode_wav(blob)
+        if blob[:9] == b"YUV4MPEG2":
+            return decode_y4m(blob)
+        try:  # optional: compressed images when PIL is installed
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "unrecognized media container (not PPM/WAV/Y4M) and no "
+                "codec library available; install Pillow for PNG/JPEG"
+            ) from None
+        import numpy as np
+
+        with Image.open(io.BytesIO(blob)) as im:
+            arr = np.asarray(im.convert("L"), dtype=np.float64)
+            return {
+                "width": im.width, "height": im.height,
+                "n_frames": getattr(im, "n_frames", 1),
+                "sample_rate": 0, "n_channels": len(im.getbands()),
+                "mean_level": float(arr.mean()),
+            }
+
+    return {
+        "encode_ppm": encode_ppm,
+        "encode_wav": encode_wav,
+        "encode_y4m": encode_y4m,
+        "decode": decode,
+    }
+
+
+_CODECS = _build_codecs()
+
+
+def decode_media(blob: bytes, media_type: str | None = None) -> dict:
+    """Decode a real media container (PPM image / PCM WAV audio / Y4M
+    video; PIL-gated PNG/JPEG fallback) into typed metadata + mean sample
+    level. Raises NotImplementedError only for formats that genuinely
+    need a codec library this container lacks."""
+    return _CODECS["decode"](blob, media_type)
+
+
+# Deterministic real-blob parameter schedule — every field is arithmetic
+# in doc_id, so the DuckDB oracle can state the EXPECTED decoder output
+# and a header misparse fails the gate. Mirrored in the SQL below.
+def _real_media_params(doc_id: int) -> dict:
+    fill = doc_id % 256
+    kind = doc_id % 3
+    if kind == 0:  # PPM image
+        return {"media_type": "image", "width": 8 + doc_id % 24,
+                "height": 8 + (doc_id * 7) % 16, "fill": fill}
+    if kind == 1:  # PCM WAV
+        return {"media_type": "audio", "sample_rate": 8000 + 1000 * (doc_id % 4),
+                "n_channels": 1 + doc_id % 2, "n_samples": 64 + doc_id % 128,
+                "value": fill * 64 - 8192}
+    return {"media_type": "video", "width": 16 + 2 * (doc_id % 8),
+            "height": 16 + 2 * ((doc_id * 3) % 8),
+            "n_frames": 1 + doc_id % 5, "fill": fill}
+
+
+def media_real_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container twin of ``media_blob_table``: one genuine PPM / WAV /
+    Y4M payload per document, parameters from ``_real_media_params``.
+    Generation is an Arrow-batched mapInPandas over the documents scan —
+    the same distributed shape real ingest has (blobs materialize on
+    executors, never on the driver)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    enc_ppm, enc_wav, enc_y4m = (
+        _CODECS["encode_ppm"], _CODECS["encode_wav"], _CODECS["encode_y4m"]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — by-value closure
+
+        def params(doc_id):
+            fill = doc_id % 256
+            kind = doc_id % 3
+            if kind == 0:
+                return ("image", enc_ppm(8 + doc_id % 24,
+                                         8 + (doc_id * 7) % 16, fill))
+            if kind == 1:
+                return ("audio", enc_wav(8000 + 1000 * (doc_id % 4),
+                                         1 + doc_id % 2, 64 + doc_id % 128,
+                                         fill * 64 - 8192))
+            return ("video", enc_y4m(16 + 2 * (doc_id % 8),
+                                     16 + 2 * ((doc_id * 3) % 8),
+                                     1 + doc_id % 5, fill))
+
+        for pdf in batches:
+            made = [params(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m for m, _ in made],
+                    "blob": [b for _, b in made],
+                }
+            )
+
+    return d.mapInPandas(gen, schema="doc_id bigint, media_type string, blob binary")
+
+
+@query(
+    "multimodal_decode_real",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                                        WHEN 1 THEN 'audio'
+                                        ELSE 'video' END AS media_type,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 8 + doc_id % 24
+                WHEN 1 THEN 0
+                ELSE 16 + 2 * (doc_id % 8) END AS BIGINT) AS width,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 8 + (doc_id * 7) % 16
+                WHEN 1 THEN 0
+                ELSE 16 + 2 * ((doc_id * 3) % 8) END AS BIGINT) AS height,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 1
+                WHEN 1 THEN 64 + doc_id % 128
+                ELSE 1 + doc_id % 5 END AS BIGINT) AS n_frames,
+           CAST(CASE WHEN CAST(doc_id % 3 AS INT) = 1
+                THEN 8000 + 1000 * (doc_id % 4) ELSE 0 END AS BIGINT)
+               AS sample_rate,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN 1 + doc_id % 2
+                ELSE 3 END AS BIGINT) AS n_channels,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN (doc_id % 256) * 64 - 8192
+                ELSE doc_id % 256 END AS DOUBLE) AS mean_level
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real decode: genuine PPM/WAV/Y4M containers are built on
+    executors, then PARSED back by the real decoder inside an
+    Arrow-batched mapInPandas — the oracle states the expected header
+    fields and mean sample level arithmetically, so a decoder bug (wrong
+    endianness, off-by-one header scan, bad plane math) fails the gate.
+    This replaces the round-1..4 stub: ``decode_media`` now actually
+    decodes; only genuinely codec-bound formats (PNG/JPEG without PIL)
+    raise."""
+    m = media_real_blob_table(spark, sf_dir)
+    dec = _CODECS["decode"]
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — by-value closure
+
+        for pdf in batches:
+            metas = [dec(b) for b in pdf["blob"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            out.insert(1, "media_type", pdf["media_type"].to_numpy())
+            yield out
+
+    return m.mapInPandas(
+        decode_batches,
+        schema=(
+            "doc_id bigint, media_type string, width bigint, height bigint, "
+            "n_frames bigint, sample_rate bigint, n_channels bigint, "
+            "mean_level double"
+        ),
     )

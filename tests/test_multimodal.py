@@ -45,3 +45,42 @@ def test_frame_sample_fanout(spark):
     assert (out.frame_idx <= 24).all()
     per_doc = out.groupby("doc_id").frame_idx.count()
     assert per_doc.max() <= 4
+
+
+def test_real_codec_round_trips():
+    """encode->decode inverts exactly for all three codec-free containers;
+    unrecognized magic raises (PIL-gated fallback absent in container)."""
+    from k_means_in_mapreduce_spark.operators import multimodal as M
+
+    c = M._CODECS
+    assert M.decode_media(c["encode_ppm"](12, 9, 77)) == {
+        "width": 12, "height": 9, "n_frames": 1,
+        "sample_rate": 0, "n_channels": 3, "mean_level": 77.0,
+    }
+    assert M.decode_media(c["encode_wav"](11000, 2, 130, -512)) == {
+        "width": 0, "height": 0, "n_frames": 130,
+        "sample_rate": 11000, "n_channels": 2, "mean_level": -512.0,
+    }
+    assert M.decode_media(c["encode_y4m"](20, 18, 3, 200)) == {
+        "width": 20, "height": 18, "n_frames": 3,
+        "sample_rate": 0, "n_channels": 3, "mean_level": 200.0,
+    }
+
+
+def test_ppm_decoder_handles_comments_and_p5():
+    from k_means_in_mapreduce_spark.operators import multimodal as M
+
+    blob = b"P6\n# a netpbm comment\n4 2\n255\n" + bytes([10]) * 24
+    assert M.decode_media(blob)["width"] == 4
+    grey = b"P5\n3 3\n255\n" + bytes([9]) * 9
+    d = M.decode_media(grey)
+    assert d["n_channels"] == 1 and d["mean_level"] == 9.0
+
+
+def test_unknown_container_raises_not_implemented():
+    import pytest
+
+    from k_means_in_mapreduce_spark.operators import multimodal as M
+
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x89PNG\r\n\x1a\n----")
