@@ -419,3 +419,82 @@ def test_kafka_transport_fails_cleanly_without_connector(spark):
         assert "kafka" in msg, msg
     else:  # pragma: no cover - connector-present path
         assert df.schema == EVENT_SCHEMA
+
+
+def test_epoch_committed_sink_is_exactly_once(spark, tmp_path):
+    """Replaying a committed epoch into the transactional sink must be a
+    no-op (exactly-once on top of foreachBatch's at-least-once contract),
+    and readers must see only committed epochs."""
+    from k_means_in_mapreduce_spark.streaming.sinks import (
+        EpochCommittedParquetSink,
+    )
+
+    sink = EpochCommittedParquetSink(str(tmp_path / "tx_table"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    sink(b0, 0)
+    sink(b1, 1)
+    assert sink.committed_epochs() == [0, 1]
+
+    # crash-replay of epoch 1: same data arrives again -> skipped
+    sink(b1, 1)
+    assert sink.replayed_epochs == [1]
+    got = {r["id"] for r in sink.read_committed(spark).collect()}
+    assert got == {1, 2, 3}  # no duplicates from the replay
+
+    # a torn, uncommitted epoch directory is invisible to readers
+    (tmp_path / "tx_table" / "epoch=2").mkdir()
+    b_torn = spark.createDataFrame([(99, "x")], "id long, v string")
+    b_torn.write.mode("overwrite").parquet(str(tmp_path / "tx_table" / "epoch=2"))
+    # note: directory written but manifest entry never created
+    got2 = {r["id"] for r in sink.read_committed(spark).collect()}
+    assert got2 == {1, 2, 3}
+
+
+def test_epoch_committed_sink_end_to_end_stream(spark, tmp_path):
+    """Drive the sink from a real streaming query: run 1 commits epochs;
+    run 2 restarts from the same checkpoint with the same sink directory
+    and must not duplicate any rows even though the file source re-lists."""
+    from k_means_in_mapreduce_spark.streaming.sinks import (
+        EpochCommittedParquetSink,
+    )
+
+    src = str(tmp_path / "sink_src")
+    ckpt = str(tmp_path / "sink_ckpt")
+    os.makedirs(src, exist_ok=True)
+    sink = EpochCommittedParquetSink(str(tmp_path / "sink_table"))
+
+    def write_file(name: str, rows):
+        df = spark.createDataFrame(rows, "id long, v double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/_stage")
+        part = [
+            f
+            for f in os.listdir(f"{src}/_stage")
+            if f.endswith(".parquet") and not f.startswith("_")
+        ][0]
+        shutil.copy(f"{src}/_stage/{part}", f"{src}/{name}")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, v double")
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_file("a.parquet", [(i, float(i)) for i in range(10)])
+    run_once()
+    write_file("b.parquet", [(i, float(i)) for i in range(10, 15)])
+    run_once()
+
+    ids = sorted(r["id"] for r in sink.read_committed(spark).collect())
+    assert ids == list(range(15)), ids
