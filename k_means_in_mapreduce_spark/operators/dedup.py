@@ -835,37 +835,55 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify joins broadcast the (small) pair side against the source
     table; the corpus itself never crosses the shuffle twice.
     """
-    from ..functions.vector import cosine_similarity
     from .similarity import build_ivf_index, probe_cells_expr
 
     centroids, _cells_dir = build_ivf_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # Each vector is replicated into its DEDUP_IVF_PROBES probed cells —
+    # the stored-in-P-buckets IVF layout. ONE shuffle of n·P rows on
+    # cell_id; no candidate-pair shuffle exists at all.
     probes = e.select(
         "vec_id",
+        "e",
         F.explode(
             probe_cells_expr("e", centroids, DEDUP_IVF_PROBES)
         ).alias("cell_id"),
     )
-    a = probes.select(F.col("vec_id").alias("vec_a"), "cell_id")
-    b = probes.select(F.col("vec_id").alias("vec_b"), "cell_id")
-    cand = (
-        a.join(b, "cell_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
-    scored = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a", "vec_b", cosine_similarity("e_a", "e_b").alias("cos_sim")
+    threshold = COSINE_THRESHOLD
+
+    # Per-cell blocked matmul verify (self-contained closure — shipped by
+    # value, see multimodal.py note): the m×m cosine matrix of a cell's
+    # members is ONE BLAS gemm, replacing a per-candidate-pair interpreted
+    # HOF cosine + two verify joins (measured 6.5s -> ~1s at sf0.1; at
+    # fixed cell occupancy the gemm is the FLOP-optimal form of the same
+    # O(Σ|cell|²) work). Memory per task is m² for m ≈ n·P/cells —
+    # bounded by scaling cells with n (the coarse-quantizer knob).
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        X = np.array(pdf["e"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        U = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = U @ U.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = S[ii, jj] >= threshold
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"vec_a": lo, "vec_b": hi, "cos_sim": S[ii[keep], jj[keep]]}
         )
+
+    cellwise = probes.groupBy("cell_id").applyInPandas(
+        cell_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
-    return scored.filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+    # a pair sharing several probed cells is found once per shared cell —
+    # collapse; cos_sim is the same exact value each time (max = that value)
+    return cellwise.groupBy("vec_a", "vec_b").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
 
 
 @query(
