@@ -84,3 +84,50 @@ def test_unknown_container_raises_not_implemented():
 
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\x89PNG\r\n\x1a\n----")
+
+
+def test_real_codec_round_trip_properties():
+    """Property: encode->decode inverts header fields and mean level for
+    arbitrary valid parameters across all three containers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from k_means_in_mapreduce_spark.operators import multimodal as M
+
+    c = M._CODECS
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 64), h=st.integers(1, 48), fill=st.integers(0, 255)
+    )
+    def ppm_prop(w, h, fill):
+        d = M.decode_media(c["encode_ppm"](w, h, fill))
+        assert (d["width"], d["height"], d["mean_level"]) == (w, h, float(fill))
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        sr=st.integers(1000, 96000),
+        ch=st.integers(1, 4),
+        n=st.integers(1, 500),
+        val=st.integers(-32768, 32767),
+    )
+    def wav_prop(sr, ch, n, val):
+        d = M.decode_media(c["encode_wav"](sr, ch, n, val))
+        assert (d["sample_rate"], d["n_channels"], d["n_frames"]) == (sr, ch, n)
+        assert d["mean_level"] == float(val)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 32).map(lambda x: 2 * x),
+        h=st.integers(1, 32).map(lambda x: 2 * x),
+        nf=st.integers(1, 6),
+        fill=st.integers(0, 255),
+    )
+    def y4m_prop(w, h, nf, fill):
+        d = M.decode_media(c["encode_y4m"](w, h, nf, fill))
+        assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+        assert d["mean_level"] == float(fill)
+
+    ppm_prop()
+    wav_prop()
+    y4m_prop()

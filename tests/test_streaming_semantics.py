@@ -498,3 +498,87 @@ def test_epoch_committed_sink_end_to_end_stream(spark, tmp_path):
 
     ids = sorted(r["id"] for r in sink.read_committed(spark).collect())
     assert ids == list(range(15)), ids
+
+
+def test_streaming_kmeans_single_batch_equals_batch_cf(spark):
+    """With decay=1 and zero prior weight, folding ONE batch must equal
+    the batch clustering-feature means for the same fixed centroids —
+    the streaming operator is the batch dataflow applied incrementally."""
+    import numpy as np
+
+    from k_means_in_mapreduce_spark.operators.kmeans_df import (
+        assign_clusters,
+        cluster_features,
+    )
+    from k_means_in_mapreduce_spark.sources import load_table
+    from k_means_in_mapreduce_spark.streaming.kmeans_stream import (
+        streaming_kmeans,
+    )
+    from .conftest import SF001
+
+    emb = load_table(spark, SF001, "embeddings").select(
+        F.col("embedding").alias("features")
+    )
+    init = [list(r["features"]) for r in emb.limit(3).collect()]
+    model = streaming_kmeans(init, decay=1.0)
+    model.update(emb, epoch_id=0)
+
+    batch = {
+        r["cluster_id"]: r
+        for r in cluster_features(
+            assign_clusters(emb, init, "features"), 64, "features"
+        ).collect()
+    }
+    for i in range(3):
+        assert np.allclose(model.centroids[i], list(batch[i]["centroid"]))
+        assert model.weights[i] == batch[i]["num_points"]
+
+
+def test_streaming_kmeans_two_batches_invariants(spark, tmp_path):
+    """Drive the operator from a real file-source stream, one file per
+    trigger: every point is folded exactly once (decayed counts sum to n
+    at decay=1) and each batch moves the centroids."""
+    from k_means_in_mapreduce_spark.sources import load_table
+    from k_means_in_mapreduce_spark.streaming.kmeans_stream import (
+        streaming_kmeans,
+    )
+    from .conftest import SF001
+
+    emb = load_table(spark, SF001, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("features")
+    )
+    src = str(tmp_path / "km_src")
+    os.makedirs(src, exist_ok=True)
+    emb.filter(F.col("id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/even"
+    )
+    emb.filter(F.col("id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/odd"
+    )
+    n_total = emb.count()
+
+    init = [list(r["features"]) for r in emb.limit(4).collect()]
+    model = streaming_kmeans(init, decay=1.0)
+    stream = (
+        spark.readStream.schema("id long, features array<double>")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{src}/*")
+    )
+    q = (
+        stream.select("features")
+        .writeStream.option(
+            "checkpointLocation", str(tmp_path / "km_ckpt")
+        )
+        .foreachBatch(model.sink("features"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert model.n_batches == 2, model.history
+    assert sum(model.weights) == n_total
+    assert sum(h["batch_points"] for h in model.history) == n_total
+    assert all(h["movement"] > 0 for h in model.history)
