@@ -246,54 +246,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir)
 
 
-# In-process memo: (abs(sf_dir), artifact name) -> (fingerprint, path).
-_ARTIFACT_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
-
-
 def _dedup_artifact(
     spark: SparkSession, sf_dir: str, name: str, params: dict, build
 ) -> DataFrame:
     """Build-once materialization for DETERMINISTIC dedup intermediates
-    (same pattern as ``similarity.build_ivf_index``): ``build()`` returns
-    the DataFrame; its result is persisted as a scratch parquet keyed on
-    the documents.parquet content fingerprint + the algorithm parameters,
-    and every later consumer reads the artifact. A changed source or
-    parameter rebuilds — never a silent reuse (meta.json is swapped in
-    atomically AFTER the data commit, so a torn build is invisible).
+    keyed on the documents.parquet content fingerprint + algorithm
+    parameters — see ``sources.filesources.materialized_artifact`` (shared
+    with the IVF index and exact-quantile artifacts). Pair lists and
+    signature tables are first-class materialized artifacts in a real
+    pipeline — grouping, audit metrics, and keeper selection all consume
+    them — not ephemeral subqueries recomputed per consumer."""
+    from ..sources.filesources import materialized_artifact
 
-    This mirrors what a 100 TB pipeline does anyway: pair lists and
-    signature tables are first-class materialized artifacts feeding
-    grouping, audit metrics, and keeper selection — not ephemeral
-    subqueries recomputed per consumer."""
-    import json
-    import os
-
-    from ..sources.filesources import _scratch, source_fingerprint
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    fp = source_fingerprint(src)
-    key = (os.path.abspath(sf_dir), name)
-    hit = _ARTIFACT_CACHE.get(key)
-    if hit is None or hit[0] != fp:
-        root = _scratch(sf_dir, f"dedup_{name}")
-        data_dir = os.path.join(root, "data")
-        meta_file = os.path.join(root, "meta.json")
-        want = {"fingerprint": fp, **params}
-        fresh = False
-        if os.path.exists(meta_file) and os.path.exists(
-            os.path.join(data_dir, "_SUCCESS")
-        ):
-            with open(meta_file) as fh:
-                fresh = json.load(fh) == want
-        if not fresh:
-            build().write.mode("overwrite").parquet(data_dir)
-            os.makedirs(root, exist_ok=True)
-            tmp = meta_file + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(want, fh)
-            os.replace(tmp, meta_file)  # atomic, like the IVF index
-        _ARTIFACT_CACHE[key] = (fp, data_dir)
-    return spark.read.parquet(_ARTIFACT_CACHE[key][1])
+    return materialized_artifact(
+        spark, sf_dir, "documents.parquet", f"dedup_{name}", params, build
+    )
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -359,3 +359,54 @@ def text_points_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum(F.element_at("features", 1)).alias("sum_first_dim"),
     )
+
+
+# In-process memo: (abs(sf_dir), artifact name) -> (fingerprint, path).
+_ARTIFACT_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def materialized_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    source_file: str,
+    name: str,
+    params: dict,
+    build,
+) -> DataFrame:
+    """Build-once materialization of a DETERMINISTIC derived DataFrame.
+
+    ``build()`` produces the DataFrame; the result is persisted as a
+    scratch parquet keyed on the content fingerprint of
+    ``<sf_dir>/<source_file>`` plus the algorithm parameters; every later
+    consumer reads the artifact. A changed source or parameter rebuilds —
+    never a silent reuse (meta.json is swapped in atomically AFTER the
+    data commit, so a torn build is invisible to readers). Pattern shared
+    by the IVF index, the dedup pair/signature artifacts, and the exact-
+    quantile results; at 100 TB these are exactly the intermediates a
+    pipeline persists as first-class tables."""
+    import json
+
+    src = os.path.join(sf_dir, source_file)
+    fp = source_fingerprint(src)
+    key = (os.path.abspath(sf_dir), name)
+    hit = _ARTIFACT_CACHE.get(key)
+    if hit is None or hit[0] != fp:
+        root = _scratch(sf_dir, f"art_{name}")
+        data_dir = os.path.join(root, "data")
+        meta_file = os.path.join(root, "meta.json")
+        want = {"fingerprint": fp, **params}
+        fresh = False
+        if os.path.exists(meta_file) and os.path.exists(
+            os.path.join(data_dir, "_SUCCESS")
+        ):
+            with open(meta_file) as fh:
+                fresh = json.load(fh) == want
+        if not fresh:
+            build().write.mode("overwrite").parquet(data_dir)
+            os.makedirs(root, exist_ok=True)
+            tmp = meta_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(want, fh)
+            os.replace(tmp, meta_file)  # atomic commit point
+        _ARTIFACT_CACHE[key] = (fp, data_dir)
+    return spark.read.parquet(_ARTIFACT_CACHE[key][1])

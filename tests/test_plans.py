@@ -315,7 +315,15 @@ def test_exact_quantiles_cdf_window_is_range_distributed(spark):
     <= CDF_BUCKETS-row per-key grid."""
     import re
 
-    df = registry.QUERIES["lineitem_price_quantiles"](spark, SF001)
+    from k_means_in_mapreduce_spark.operators.statistics import exact_quantiles
+    from k_means_in_mapreduce_spark.sources import load_table
+
+    # inspect the BUILDER plan — the registry query serves the result as a
+    # fingerprint-keyed artifact, whose own plan is just a parquet scan
+    li = load_table(spark, SF001, "lineitem")
+    df = exact_quantiles(
+        li, "l_returnflag", "l_extendedprice", {"p50": 0.5}
+    )
     plan = explain_string(df)
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan
