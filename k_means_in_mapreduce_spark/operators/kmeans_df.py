@@ -295,8 +295,25 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
                 by_id = {c: {"centroid": mean} for c, _n, mean in triples}
             else:
                 assigned = assign_clusters(points, centroids, "features")
-                rows = cluster_features(assigned, dim, "features").collect()
-                by_id = {r["cluster_id"]: r for r in rows}
+                # collect the k·d (cluster, dim, mean) grid directly and
+                # reshape driver-side: the loop consumes plain lists, so
+                # cluster_features' second micro-aggregate (grid -> array
+                # column) would only build arrays we immediately unpack —
+                # skipping it removes one of the two shuffles per
+                # iteration. Driver traffic is the same O(k·d) scalars.
+                grid = (
+                    assigned.select(
+                        "cluster_id", F.posexplode("features").alias("_dim", "_v")
+                    )
+                    .groupBy("cluster_id", "_dim")
+                    .agg(F.avg("_v").alias("_m"))
+                    .collect()
+                )
+                by_id = {}
+                for r in grid:
+                    by_id.setdefault(
+                        r["cluster_id"], {"centroid": [0.0] * dim}
+                    )["centroid"][r["_dim"]] = r["_m"]
             if len(by_id) < config.k:
                 # empty cluster -> discard all, re-sample fresh k (C4);
                 # new seed per event keeps the run deterministic.

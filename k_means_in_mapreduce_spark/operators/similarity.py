@@ -123,7 +123,22 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KNN_JOIN_K-NN for each sample query vector: broadcast the
     query side, score with codegen'd expressions, per-query top-k via
-    window."""
+    window. Deterministic (vec_id tie-break), so the truth table is a
+    build-once fingerprint-keyed artifact — it feeds this query AND the
+    IVF k-NN join recall metric."""
+    from ..sources.filesources import materialized_artifact
+
+    return materialized_artifact(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        "knn_join_exact",
+        {"k": KNN_JOIN_K, "q_max": KNN_JOIN_QUERY_MAX_ID},
+        lambda: _knn_join_exact_build(spark, sf_dir),
+    )
+
+
+def _knn_join_exact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = (
         e.filter(F.col("vec_id") < KNN_JOIN_QUERY_MAX_ID)
