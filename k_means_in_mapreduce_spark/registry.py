@@ -43,6 +43,7 @@ ORACLES: dict[str, str] = {}
 # predates the r4 ``normalize_event_ts`` reader change (VERDICT r4 item 2);
 # the ledger could not see that change because it was seeded after it.
 PRIORITY_OVERRIDE: list[str] = [
+    # r4 staleness incident: reader changed after these 7 went green (r3)
     "events_asof_last_purchase",
     "events_range_error_click",
     "events_trailing_hour_value",
@@ -50,6 +51,24 @@ PRIORITY_OVERRIDE: list[str] = [
     "stream_dedup_clicks",
     "stream_static_enriched_purchases",
     "stream_range_error_click",
+    # round-5 implementation changes: this round registry.py itself changed
+    # (ordering logic), which fingerprints EVERY query as tier-1 "changed";
+    # within that tier registration order would crowd these out of the
+    # ~50-row window, but their executed plans actually changed (single-
+    # scan CDF + artifact serving; artifact-served recall truths; exact
+    # kNN truth artifact) and must re-gate first.
+    "lineitem_price_quantiles",
+    "lineitem_price_quantiles_bound",
+    "dedup_minhash_lsh_recall",
+    "dedup_minhash_mllib_recall",
+    "dedup_simhash_recall",
+    "ann_knn_join_exact",
+    "ann_ivf_knn_join_recall",
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf_recall",
+    "dedup_connected_components",
+    "dedup_ngram_jaccard",
+    "dedup_groups_star",
 ]
 
 
