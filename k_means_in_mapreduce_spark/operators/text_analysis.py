@@ -21,17 +21,28 @@ STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified): contractions,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs, whitespace runs. Deliberately lookahead-free and
+# ASCII-classed so Java regex (Spark) and RE2 (DuckDB) match identically —
+# RE2 has no lookahead and the two engines' \p{L} tables can differ.
+BPE_ISH_REGEX = r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+_BPE_SQL = BPE_ISH_REGEX.replace("'", "''").replace("\\", "\\\\")
+
+
 @query(
     "text_token_stats",
-    """
+    f"""
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(length(norm) AS BIGINT) AS n_chars_norm,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
            list_aggregate(list_transform(toks, t -> CAST(length(t) AS DOUBLE)), 'avg')
-               AS avg_token_len
+               AS avg_token_len,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+               AS n_bpe_tokens
     FROM (
-        SELECT doc_id,
+        SELECT doc_id, text,
                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
         FROM documents
@@ -39,7 +50,10 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenization of normalized text)."""
+    """Token counting: whitespace tokenization of normalized text PLUS a
+    BPE-ish pre-tokenizer count (``BPE_ISH_REGEX``) — the cheap
+    proxy-for-LLM-token-cost a corpus report needs before any real
+    tokenizer runs. Both counts are pure codegen'd string expressions."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     return d.select(
@@ -53,6 +67,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
             lambda acc: acc / F.size(toks),
         ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
     )
 
 

@@ -114,7 +114,13 @@ def test_embedding_cosine_no_driver_materialization(spark, monkeypatch):
 
 
 def test_knn_join_broadcasts_query_side(spark):
-    df = registry.QUERIES["ann_knn_join_exact"](spark, SF001)
+    # inspect the BUILDER plan — the registry query serves the truth table
+    # as a fingerprint-keyed artifact whose own plan is a parquet scan
+    from k_means_in_mapreduce_spark.operators.similarity import (
+        _knn_join_exact_build,
+    )
+
+    df = _knn_join_exact_build(spark, SF001)
     assert has_broadcast_join(df)
 
 
