@@ -582,3 +582,73 @@ def test_streaming_kmeans_two_batches_invariants(spark, tmp_path):
     assert sum(model.weights) == n_total
     assert sum(h["batch_points"] for h in model.history) == n_total
     assert all(h["movement"] > 0 for h in model.history)
+
+
+def test_idle_timeout_sessions_evict_and_emit_once(spark, tmp_path):
+    """State-eviction contract of the event-time-timeout session op:
+    a session is emitted exactly once AFTER the watermark passes its
+    last event + gap, with the folded payload; users still inside the
+    gap stay open (no emission, state retained)."""
+    from k_means_in_mapreduce_spark.streaming.stateful import (
+        idle_timeout_sessions,
+    )
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name: str, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/_stage")
+        part = [
+            f
+            for f in os.listdir(f"{src}/_stage")
+            if f.endswith(".parquet") and not f.startswith("_")
+        ][0]
+        shutil.copy(f"{src}/_stage/{part}", f"{src}/{name}")
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # users 0/1: short sessions in the morning; user 2 appears at noon,
+    # pushing the watermark (delay 10min) far past 0/1's last+30min gap
+    write_file("a.parquet", [
+        (0, T(9, 0), 1.0), (0, T(9, 10), 2.0),
+        (1, T(9, 5), 5.0),
+    ])
+
+    emitted: list[dict] = []
+
+    def sink(batch_df, epoch_id):
+        emitted.extend(r.asDict() for r in batch_df.collect())
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .format("parquet")
+            .load(src)
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            idle_timeout_sessions(stream, gap_sec=1800)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    assert emitted == [], emitted  # watermark hasn't passed any close time
+
+    write_file("b.parquet", [(2, T(12, 0), 7.0)])
+    run_once()  # watermark -> 11:50 > 9:40/9:35 -> users 0 and 1 close
+
+    closed = {r["user_id"]: r for r in emitted}
+    assert set(closed) == {0, 1}, emitted
+    assert closed[0]["n_events"] == 2 and closed[0]["total_value"] == 3.0
+    assert closed[0]["session_start"] == T(9, 0)
+    assert closed[0]["session_end"] == T(9, 10)
+    assert closed[1]["n_events"] == 1 and closed[1]["total_value"] == 5.0
+    # user 2's session is still open: no emission, state retained
