@@ -357,11 +357,17 @@ def _build_codecs() -> dict:
         return buf.getvalue()
 
     def encode_y4m(width: int, height: int, n_frames: int, y_fill: int) -> bytes:
+        # frame f's luma plane is filled with (y_fill + f) % 256: per-frame
+        # content varies, so a decoder frame-boundary bug (off-by-one in
+        # frame size, miscounted UV planes) corrupts SPECIFIC frame means
+        # instead of canceling out
         header = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()
-        y = bytes([y_fill]) * (width * height)
         uv = bytes([128]) * ((width // 2) * (height // 2))
-        frame = b"FRAME\n" + y + uv + uv
-        return header + frame * n_frames
+        out = [header]
+        for f in range(n_frames):
+            y = bytes([(y_fill + f) % 256]) * (width * height)
+            out.append(b"FRAME\n" + y + uv + uv)
+        return b"".join(out)
 
     def decode_ppm(blob: bytes) -> dict:
         # P6 header: magic, width, height, maxval as whitespace-separated
@@ -424,18 +430,20 @@ def _build_codecs() -> dict:
             "444": width * height,
         }[subsampling[:3]]
         frame_size = width * height + 2 * uv_size
-        pos, n_frames, y_sum = nl + 1, 0, 0
+        pos, frame_means = nl + 1, []
         while pos < len(blob):
             if blob[pos : pos + 5] != b"FRAME":
                 raise ValueError(f"bad FRAME marker at byte {pos}")
             pos = blob.index(b"\n", pos) + 1
-            y_sum += sum(memoryview(blob)[pos : pos + width * height])
+            y_plane = memoryview(blob)[pos : pos + width * height]
+            frame_means.append(sum(y_plane) / (width * height))
             pos += frame_size
-            n_frames += 1
-        mean = y_sum / (n_frames * width * height) if n_frames else 0.0
+        n_frames = len(frame_means)
+        mean = sum(frame_means) / n_frames if n_frames else 0.0
         return {
             "width": width, "height": height, "n_frames": n_frames,
             "sample_rate": 0, "n_channels": 3, "mean_level": mean,
+            "frame_means": frame_means,
         }
 
     def decode(blob: bytes, media_type: str | None = None) -> dict:
@@ -444,7 +452,9 @@ def _build_codecs() -> dict:
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             return decode_wav(blob)
         if blob[:9] == b"YUV4MPEG2":
-            return decode_y4m(blob)
+            d = dict(decode_y4m(blob))
+            d.pop("frame_means")  # uniform scalar schema across media types
+            return d
         try:  # optional: compressed images when PIL is installed
             from PIL import Image
         except ImportError:
@@ -468,6 +478,7 @@ def _build_codecs() -> dict:
         "encode_wav": encode_wav,
         "encode_y4m": encode_y4m,
         "decode": decode,
+        "decode_y4m": decode_y4m,
     }
 
 
@@ -567,8 +578,13 @@ def media_real_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 1 + doc_id % 2
                 ELSE 3 END AS BIGINT) AS n_channels,
            CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN doc_id % 256
                 WHEN 1 THEN (doc_id % 256) * 64 - 8192
-                ELSE doc_id % 256 END AS DOUBLE) AS mean_level
+                ELSE list_aggregate(
+                         list_transform(range(0, CAST(1 + doc_id % 5 AS INT)),
+                                        f -> CAST((doc_id % 256 + f) % 256 AS DOUBLE)),
+                         'avg')
+                END AS DOUBLE) AS mean_level
     FROM documents
     """,
 )
@@ -601,4 +617,49 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames bigint, sample_rate bigint, n_channels bigint, "
             "mean_level double"
         ),
+    )
+
+
+@query(
+    "multimodal_frame_stats_real",
+    """
+    WITH vids AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 5 AS INT) AS nf,
+               doc_id % 256 AS fill
+        FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, nf)) AS BIGINT) AS frame_idx,
+           CAST((fill + unnest(range(0, nf))) % 256 AS DOUBLE) AS mean_y
+    FROM vids
+    """,
+)
+def multimodal_frame_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FRAME statistics from REAL Y4M parsing: each video blob's frame
+    boundaries are walked by the decoder and every frame's luma mean is
+    emitted as its own row (the UDTF-style fan-out a video pipeline needs
+    between decode and frame-level featurization). The fixture varies
+    each frame's fill, so the oracle pins every (doc_id, frame_idx,
+    mean_y) individually — an off-by-one in the decoder's frame stride
+    corrupts specific rows and fails the gate."""
+    m = media_real_blob_table(spark, sf_dir).filter(
+        F.col("media_type") == "video"
+    )
+    dec_y4m = _CODECS["decode_y4m"]
+
+    def frame_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — by-value closure
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "mean_y": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, fm in enumerate(dec_y4m(blob)["frame_means"]):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["mean_y"].append(fm)
+            yield pd.DataFrame(out)
+
+    return m.mapInPandas(
+        frame_rows, schema="doc_id bigint, frame_idx bigint, mean_y double"
     )

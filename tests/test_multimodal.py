@@ -61,10 +61,14 @@ def test_real_codec_round_trips():
         "width": 0, "height": 0, "n_frames": 130,
         "sample_rate": 11000, "n_channels": 2, "mean_level": -512.0,
     }
+    # frame f's fill is (200 + f) % 256 -> mean over 3 frames = 201.0
     assert M.decode_media(c["encode_y4m"](20, 18, 3, 200)) == {
         "width": 20, "height": 18, "n_frames": 3,
-        "sample_rate": 0, "n_channels": 3, "mean_level": 200.0,
+        "sample_rate": 0, "n_channels": 3, "mean_level": 201.0,
     }
+    # per-frame means from the frame-walking decoder
+    fm = c["decode_y4m"](c["encode_y4m"](20, 18, 3, 254))["frame_means"]
+    assert fm == [254.0, 255.0, 0.0]  # wraps mod 256
 
 
 def test_ppm_decoder_handles_comments_and_p5():
@@ -126,7 +130,8 @@ def test_real_codec_round_trip_properties():
     def y4m_prop(w, h, nf, fill):
         d = M.decode_media(c["encode_y4m"](w, h, nf, fill))
         assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
-        assert d["mean_level"] == float(fill)
+        want = sum((fill + f) % 256 for f in range(nf)) / nf
+        assert abs(d["mean_level"] - want) < 1e-12
 
     ppm_prop()
     wav_prop()
