@@ -8,22 +8,20 @@ fix is to *derive* the gate-window ordering instead of hand-writing it:
 
 - ``GATE_LEDGER.json`` (repo root, committed) records for every query the
   last round it was driver-checked and an md5 fingerprint of the query's
-  defining module PLUS its transitive intra-package imports, taken at the
-  moment the round's CORRECTNESS file was incorporated (i.e. before any
-  new-round edits).
+  defining module PLUS its transitive intra-package imports, computed
+  FROM THE GIT COMMIT THAT INTRODUCED that round's CORRECTNESS file —
+  i.e. the exact code the driver gated, regardless of when the ledger
+  tool runs. (The driver commits CORRECTNESS_r{N}.json immediately after
+  the gate, so that commit's tree IS the gate-time tree.)
 - ``ordered_queries()`` leads with (a) queries with no ledger row (never
-  checked), (b) queries whose current fingerprint differs from the
+  checked), (b) queries whose CURRENT fingerprint differs from the
   at-green fingerprint (code under them changed), (c) everything else by
   ascending last-checked round — so the driver's bounded ~50-query window
   always spends its budget on the rows most likely to be stale.
 
-``tools/update_gate_ledger.py`` incorporates new CORRECTNESS_r*.json files;
-run it at the START of a round, before editing any query module, so the
-recorded fingerprints equal the fingerprints at gate time (the driver
-commits CORRECTNESS right after the gate, with no edits in between).
-Forgetting to run it is fail-safe: fingerprints stay stale, MORE queries
-rank as "changed since green", and the window over-re-checks rather than
-under-re-checks.
+``tools/update_gate_ledger.py`` incorporates new CORRECTNESS_r*.json
+files; because fingerprints come from git history, running it late (after
+edits) is safe — it cannot mistake post-gate edits for gate-time code.
 """
 
 from __future__ import annotations
@@ -32,7 +30,7 @@ import ast
 import hashlib
 import json
 import os
-from functools import lru_cache
+import subprocess
 
 PACKAGE = "k_means_in_mapreduce_spark"
 PKG_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -40,96 +38,148 @@ REPO_ROOT = os.path.dirname(PKG_DIR)
 LEDGER_PATH = os.path.join(REPO_ROOT, "GATE_LEDGER.json")
 
 
-def _module_file(dotted: str) -> str | None:
-    """Map a package-internal dotted module name to its source file."""
-    rel = dotted.split(".")
-    if rel[0] != PACKAGE:
+class _Tree:
+    """Package-source reader over the working tree (ref=None) or a git
+    commit (ref=sha) — lets the same AST dependency walk run against the
+    code as it was at gate time."""
+
+    def __init__(self, ref: str | None = None) -> None:
+        self.ref = ref
+        self._listing: set[str] | None = None
+        self._imports: dict[str, tuple[str, ...]] = {}
+        self._md5: dict[str, str] = {}
+
+    # -- file access --------------------------------------------------
+    def _git_listing(self) -> set[str]:
+        if self._listing is None:
+            out = subprocess.run(
+                ["git", "-C", REPO_ROOT, "ls-tree", "-r", "--name-only", self.ref],
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            self._listing = set(out.splitlines())
+        return self._listing
+
+    def exists(self, relpath: str) -> bool:
+        if self.ref is None:
+            return os.path.isfile(os.path.join(REPO_ROOT, relpath))
+        return relpath in self._git_listing()
+
+    def read_bytes(self, relpath: str) -> bytes:
+        if self.ref is None:
+            with open(os.path.join(REPO_ROOT, relpath), "rb") as fh:
+                return fh.read()
+        return subprocess.run(
+            ["git", "-C", REPO_ROOT, "show", f"{self.ref}:{relpath}"],
+            capture_output=True,
+            check=True,
+        ).stdout
+
+    # -- module resolution --------------------------------------------
+    def module_relpath(self, dotted: str) -> str | None:
+        parts = dotted.split(".")
+        if parts[0] != PACKAGE:
+            return None
+        base = "/".join(parts)
+        for cand in (base + ".py", base + "/__init__.py"):
+            if self.exists(cand):
+                return cand
         return None
-    base = os.path.join(PKG_DIR, *rel[1:])
-    for cand in (base + ".py", os.path.join(base, "__init__.py")):
-        if os.path.isfile(cand):
-            return cand
-    return None
 
+    def _resolve_relative(
+        self, module: str, node_module: str | None, level: int
+    ) -> str:
+        """Resolve ``from ..x import y`` inside ``module``. Inside a
+        package's ``__init__.py`` level=1 refers to the package itself,
+        so one fewer component is stripped."""
+        parts = module.split(".")
+        f = self.module_relpath(module)
+        is_pkg = bool(f) and f.endswith("__init__.py")
+        strip = max(0, level - 1 if is_pkg else level)
+        base = parts[: len(parts) - strip] if strip else parts
+        if node_module:
+            base = base + node_module.split(".")
+        return ".".join(base)
 
-def _resolve_relative(module: str, node_module: str | None, level: int) -> str:
-    """Resolve a ``from ..x import y`` inside ``module`` to a dotted name.
+    def direct_imports(self, dotted: str) -> tuple[str, ...]:
+        """Package-internal modules imported by ``dotted`` (non-recursive).
+        ``from .ops import similarity`` also yields the submodule when the
+        imported name is itself a module."""
+        if dotted in self._imports:
+            return self._imports[dotted]
+        path = self.module_relpath(dotted)
+        out: set[str] = set()
+        if path is not None:
+            try:
+                tree = ast.parse(self.read_bytes(path).decode("utf-8"))
+            except SyntaxError:
+                tree = None
+            if tree is not None:
+                for node in ast.walk(tree):
+                    if isinstance(node, ast.Import):
+                        for a in node.names:
+                            if a.name.split(".")[0] == PACKAGE:
+                                out.add(a.name)
+                    elif isinstance(node, ast.ImportFrom):
+                        target = self._resolve_relative(
+                            dotted, node.module, node.level
+                        )
+                        if target.split(".")[0] != PACKAGE:
+                            continue
+                        if self.module_relpath(target):
+                            out.add(target)
+                        for a in node.names:
+                            sub = f"{target}.{a.name}"
+                            if self.module_relpath(sub):
+                                out.add(sub)
+        result = tuple(sorted(m for m in out if self.module_relpath(m)))
+        self._imports[dotted] = result
+        return result
 
-    Inside a package's ``__init__.py``, level=1 refers to the package
-    itself (not its parent), so one fewer component is stripped.
-    """
-    parts = module.split(".")
-    f = _module_file(module)
-    is_pkg = bool(f) and os.path.basename(f) == "__init__.py"
-    strip = max(0, level - 1 if is_pkg else level)
-    base = parts[: len(parts) - strip] if strip else parts
-    if node_module:
-        base = base + node_module.split(".")
-    return ".".join(base)
-
-
-@lru_cache(maxsize=None)
-def _direct_imports(dotted: str) -> tuple[str, ...]:
-    """Package-internal modules imported by ``dotted`` (non-recursive).
-
-    ``from .ops import similarity`` also yields ``<pkg>.ops.similarity``
-    when the imported names are themselves modules — that is how
-    ``sources/__init__.py`` pulls in ``tables.py``/``filesources.py``.
-    """
-    path = _module_file(dotted)
-    if path is None:
-        return ()
-    try:
-        tree = ast.parse(open(path, encoding="utf-8").read())
-    except SyntaxError:
-        return ()
-    out: set[str] = set()
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Import):
-            for a in node.names:
-                if a.name.split(".")[0] == PACKAGE:
-                    out.add(a.name)
-        elif isinstance(node, ast.ImportFrom):
-            target = _resolve_relative(dotted, node.module, node.level)
-            if target.split(".")[0] != PACKAGE:
+    def transitive_files(self, dotted: str) -> list[str]:
+        """REPO_ROOT-relative source files the module's behavior can
+        depend on, recursively."""
+        seen: set[str] = set()
+        stack = [dotted]
+        while stack:
+            m = stack.pop()
+            if m in seen:
                 continue
-            if _module_file(target):
-                out.add(target)
-            for a in node.names:
-                sub = f"{target}.{a.name}"
-                if _module_file(sub):
-                    out.add(sub)
-    return tuple(sorted(m for m in out if _module_file(m)))
+            seen.add(m)
+            stack.extend(self.direct_imports(m))
+        files = {f for m in seen if (f := self.module_relpath(m))}
+        return sorted(files)
+
+    def file_md5(self, relpath: str) -> str:
+        if relpath not in self._md5:
+            self._md5[relpath] = hashlib.md5(self.read_bytes(relpath)).hexdigest()
+        return self._md5[relpath]
+
+    def module_fingerprint(self, dotted: str) -> str:
+        """md5 over (relpath, content-md5) of the module + its transitive
+        intra-package imports — changes when any code under it does."""
+        parts = [f"{f}:{self.file_md5(f)}" for f in self.transitive_files(dotted)]
+        return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def transitive_files(dotted: str) -> list[str]:
-    """All source files the module's behavior can depend on, recursively."""
-    seen: set[str] = set()
-    stack = [dotted]
-    while stack:
-        m = stack.pop()
-        if m in seen:
-            continue
-        seen.add(m)
-        stack.extend(_direct_imports(m))
-    files = {f for m in seen if (f := _module_file(m))}
-    return sorted(files)
+_WORKING_TREE = _Tree(None)
 
 
-@lru_cache(maxsize=None)
-def _file_md5(path: str) -> str:
-    with open(path, "rb") as fh:
-        return hashlib.md5(fh.read()).hexdigest()
+def transitive_files(dotted: str, ref: str | None = None) -> list[str]:
+    tree = _WORKING_TREE if ref is None else _Tree(ref)
+    return tree.transitive_files(dotted)
 
 
-def module_fingerprint(dotted: str) -> str:
-    """md5 over (relpath, content-md5) of the module + its transitive
-    intra-package imports — changes when any code under the query does."""
-    parts = [
-        f"{os.path.relpath(f, PKG_DIR)}:{_file_md5(f)}"
-        for f in transitive_files(dotted)
-    ]
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
+def module_fingerprint(dotted: str, ref: str | None = None) -> str:
+    tree = _WORKING_TREE if ref is None else _Tree(ref)
+    return tree.module_fingerprint(dotted)
+
+
+def invalidate_working_tree_cache() -> None:
+    """Drop memoized working-tree state (files changed mid-process)."""
+    global _WORKING_TREE
+    _WORKING_TREE = _Tree(None)
 
 
 def load_ledger() -> dict:
@@ -155,10 +205,29 @@ def _row_checked(row: dict) -> bool:
     )
 
 
+def _introducing_commit(relname: str) -> str | None:
+    """Most recent commit that ADDED the file — the driver commits each
+    CORRECTNESS file right after the gate, so this commit's tree is the
+    gate-time code."""
+    out = subprocess.run(
+        [
+            "git", "-C", REPO_ROOT, "log", "--diff-filter=A",
+            "--format=%H", "--", relname,
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    return out[0] if out else None
+
+
 def incorporate_correctness(ledger: dict, repo_root: str = REPO_ROOT) -> list[str]:
-    """Fold any not-yet-seen CORRECTNESS_r*.json into the ledger, stamping
-    each green query with the CURRENT module fingerprint (call this before
-    editing code in a new round). Returns the rounds incorporated."""
+    """Fold any not-yet-seen CORRECTNESS_r*.json into the ledger. Each
+    green query is stamped with the module fingerprint FROM THE COMMIT
+    that introduced the round's file (gate-time code), so running this
+    late — after new-round edits — cannot poison the ledger. Falls back
+    to the working tree only for a file git has never seen (same-process
+    gate runs). Returns the rounds incorporated."""
     import importlib
 
     registry = importlib.import_module(f"{PACKAGE}.registry")
@@ -172,14 +241,21 @@ def incorporate_correctness(ledger: dict, repo_root: str = REPO_ROOT) -> list[st
         with open(os.path.join(repo_root, name), encoding="utf-8") as fh:
             rows = json.load(fh)
         rnd = int(name[len("CORRECTNESS_r") : -len(".json")])
+        ref = _introducing_commit(name)
+        tree = _Tree(ref) if ref else _WORKING_TREE
         for qname, row in rows.items():
             if qname not in registry.QUERIES or not _row_checked(row):
                 continue
             fn = registry.QUERIES[qname]
+            if tree.module_relpath(fn.__module__) is None:
+                # module didn't exist at gate time under this name (query
+                # moved files since) — treat as changed-since-green
+                continue
             ledger["queries"][qname] = {
                 "last_checked_round": rnd,
-                "fingerprint": module_fingerprint(fn.__module__),
+                "fingerprint": tree.module_fingerprint(fn.__module__),
                 "module": fn.__module__,
+                "gate_commit": ref,
             }
         seen.add(name)
         added.append(name)
@@ -199,7 +275,9 @@ def derive_order(registry_queries: dict) -> list[str]:
         if row is None:
             return (0, 0, reg_pos[name])  # never driver-checked
         fn = registry_queries[name]
-        if module_fingerprint(fn.__module__) != row.get("fingerprint"):
+        if _WORKING_TREE.module_fingerprint(fn.__module__) != row.get(
+            "fingerprint"
+        ):
             return (1, 0, reg_pos[name])  # code changed since last check
         return (2, row.get("last_checked_round", 0), reg_pos[name])
 

@@ -15,20 +15,36 @@ def test_transitive_files_capture_shared_readers():
     # The exact r4 incident: events queries live in operators/asof.py but
     # read through sources/tables.py (normalize_event_ts). A change to the
     # shared reader must change the asof module's fingerprint.
-    files = gl.transitive_files("k_means_in_mapreduce_spark.operators.asof")
-    rels = {os.path.relpath(f, gl.PKG_DIR) for f in files}
-    assert "operators/asof.py" in rels
-    assert "sources/tables.py" in rels
+    rels = set(gl.transitive_files("k_means_in_mapreduce_spark.operators.asof"))
+    assert "k_means_in_mapreduce_spark/operators/asof.py" in rels
+    assert "k_means_in_mapreduce_spark/sources/tables.py" in rels
 
 
 def test_registry_fingerprint_excludes_extension_modules():
     # Registration side-effects (importlib loop) must NOT make every
     # registry-defined query depend on the whole package.
-    files = gl.transitive_files("k_means_in_mapreduce_spark.registry")
-    rels = {os.path.relpath(f, gl.PKG_DIR) for f in files}
-    assert "operators/kmeans_df.py" in rels  # genuine dependency
-    assert "operators/dedup.py" not in rels  # registration-only
-    assert "gate_ledger.py" not in rels  # ordering logic, not behavior
+    rels = set(gl.transitive_files("k_means_in_mapreduce_spark.registry"))
+    assert "k_means_in_mapreduce_spark/operators/kmeans_df.py" in rels
+    assert "k_means_in_mapreduce_spark/operators/dedup.py" not in rels
+    assert "k_means_in_mapreduce_spark/gate_ledger.py" not in rels
+
+
+def test_fingerprint_from_git_commit_detects_post_gate_changes():
+    # The whole point of git-ref fingerprints: the r3 gate commit's tree
+    # predates the r4 shared-reader change, so the asof module's
+    # fingerprint AT THAT COMMIT must differ from the working tree's.
+    ledger = gl.load_ledger()
+    row = ledger["queries"].get("events_asof_last_purchase")
+    if not row or not row.get("gate_commit"):
+        import pytest
+
+        pytest.skip("ledger has no git-stamped row for the asof query")
+    current = gl.module_fingerprint(row["module"])
+    assert current != row["fingerprint"], (
+        "working tree fingerprint should differ from the r3 gate tree"
+    )
+    at_gate = gl.module_fingerprint(row["module"], ref=row["gate_commit"])
+    assert at_gate == row["fingerprint"]
 
 
 def test_derive_order_tiers(tmp_path, monkeypatch):
