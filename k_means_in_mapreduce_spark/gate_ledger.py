@@ -233,9 +233,17 @@ def incorporate_correctness(ledger: dict, repo_root: str = REPO_ROOT) -> list[st
     registry = importlib.import_module(f"{PACKAGE}.registry")
     seen = set(ledger.get("rounds_seen", []))
     added: list[str] = []
-    for name in sorted(os.listdir(repo_root)):
-        if not (name.startswith("CORRECTNESS_r") and name.endswith(".json")):
-            continue
+    # numeric round order, NOT lexicographic: r10 must process AFTER r2,
+    # or a later round's ledger row gets clobbered by an earlier one
+    pending = sorted(
+        (
+            n
+            for n in os.listdir(repo_root)
+            if n.startswith("CORRECTNESS_r") and n.endswith(".json")
+        ),
+        key=lambda n: int(n[len("CORRECTNESS_r") : -len(".json")]),
+    )
+    for name in pending:
         if name in seen:
             continue
         with open(os.path.join(repo_root, name), encoding="utf-8") as fh:
@@ -282,3 +290,44 @@ def derive_order(registry_queries: dict) -> list[str]:
         return (2, row.get("last_checked_round", 0), reg_pos[name])
 
     return sorted(registry_queries, key=rank)
+
+
+# ---------------------------------------------------------------------------
+# Hand escape hatch for the gate-window ordering.
+#
+# Lives HERE (not in registry.py) on purpose: registry.py is in every
+# query's transitive fingerprint (all operator modules import the @query
+# decorator from it), so editing an override list hosted there would flip
+# every query to "changed since green" each round — collapsing the derived
+# order back to registration order, the exact failure mode the ledger
+# exists to prevent. gate_ledger.py is excluded from the fingerprint walk
+# (ordering logic is not query behavior), so this list can churn freely.
+# ---------------------------------------------------------------------------
+PRIORITY_OVERRIDE: list[str] = [
+    # r4 staleness incident: reader changed after these 7 went green (r3).
+    # The git-ref fingerprints now catch this class automatically; kept
+    # until CORRECTNESS_r05 confirms them green, then safe to clear.
+    "events_asof_last_purchase",
+    "events_range_error_click",
+    "events_trailing_hour_value",
+    "events_value_outliers",
+    "stream_dedup_clicks",
+    "stream_static_enriched_purchases",
+    "stream_range_error_click",
+    # round-5 implementation changes that must re-gate ahead of the
+    # (large) changed-since-green tier: artifact-served quantiles and
+    # recall truths, blocked-matmul IVF dedup, exact kNN truth artifact.
+    "lineitem_price_quantiles",
+    "lineitem_price_quantiles_bound",
+    "dedup_minhash_lsh_recall",
+    "dedup_minhash_mllib_recall",
+    "dedup_simhash_recall",
+    "ann_knn_join_exact",
+    "ann_ivf_knn_join_recall",
+    "dedup_embedding_cosine_ivf",
+    "dedup_embedding_cosine_ivf_recall",
+    "dedup_connected_components",
+    "dedup_ngram_jaccard",
+    "dedup_groups_star",
+    "text_token_stats",
+]

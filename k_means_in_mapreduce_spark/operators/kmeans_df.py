@@ -133,6 +133,14 @@ def cluster_features(
     over exploded rows, and the wide form's generated code grows with d
     while this plan is d-independent. ``dim`` is kept in the signature for
     call-site documentation; the plan no longer depends on it.
+
+    Data-model contract (the reference's, SURVEY §1.3): vectors are
+    FIXED-ARITY and NON-NULL — no null elements, no empty arrays. Under
+    that contract this plan is value-identical to per-dim ``avg``; outside
+    it the semantics differ (``posexplode`` drops empty-array rows from
+    num_points and the per-dim divisor counts positions, not non-nulls),
+    matching the reference, which has no null handling at all
+    (a malformed point kills the job, ``KMeans.java:269``).
     """
     del dim  # plan is d-independent; arity comes from the data itself
     exploded = assigned.select(

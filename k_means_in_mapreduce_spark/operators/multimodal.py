@@ -402,8 +402,20 @@ def _build_codecs() -> dict:
                 w.getnframes(),
             )
             raw = w.readframes(nf)
-        dt = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
-        samples = np.frombuffer(raw, dtype=dt)
+        if sw == 1:
+            # 8-bit WAV PCM is UNSIGNED by spec (silence = 0x80)
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+        elif sw == 2:
+            samples = np.frombuffer(raw, dtype=np.dtype("<i2"))
+        elif sw == 3:
+            # 24-bit little-endian signed: assemble from byte triples
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            samples = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        elif sw == 4:
+            samples = np.frombuffer(raw, dtype=np.dtype("<i4"))
+        else:
+            raise NotImplementedError(f"unsupported WAV sample width {sw}")
         mean = float(samples.mean()) if samples.size else 0.0
         return {
             "width": 0, "height": 0, "n_frames": nf,
@@ -473,12 +485,48 @@ def _build_codecs() -> dict:
                 "mean_level": float(arr.mean()),
             }
 
+    def media_params(doc_id: int) -> dict:
+        """THE deterministic real-blob parameter schedule — every field is
+        arithmetic in doc_id, mirrored by the multimodal_decode_real /
+        multimodal_frame_stats_real oracle SQL. Single definition: the
+        fixture encoder and tests both consume this nested (by-value
+        shippable) copy, so the Python side cannot drift in two places —
+        only the SQL mirror remains to keep in sync."""
+        fill = doc_id % 256
+        kind = doc_id % 3
+        if kind == 0:
+            return {"media_type": "image", "width": 8 + doc_id % 24,
+                    "height": 8 + (doc_id * 7) % 16, "fill": fill}
+        if kind == 1:
+            return {"media_type": "audio",
+                    "sample_rate": 8000 + 1000 * (doc_id % 4),
+                    "n_channels": 1 + doc_id % 2,
+                    "n_samples": 64 + doc_id % 128,
+                    "value": fill * 64 - 8192}
+        return {"media_type": "video", "width": 16 + 2 * (doc_id % 8),
+                "height": 16 + 2 * ((doc_id * 3) % 8),
+                "n_frames": 1 + doc_id % 5, "fill": fill}
+
+    def encode_for_doc(doc_id: int) -> tuple[str, bytes]:
+        p = media_params(doc_id)
+        if p["media_type"] == "image":
+            return "image", encode_ppm(p["width"], p["height"], p["fill"])
+        if p["media_type"] == "audio":
+            return "audio", encode_wav(
+                p["sample_rate"], p["n_channels"], p["n_samples"], p["value"]
+            )
+        return "video", encode_y4m(
+            p["width"], p["height"], p["n_frames"], p["fill"]
+        )
+
     return {
         "encode_ppm": encode_ppm,
         "encode_wav": encode_wav,
         "encode_y4m": encode_y4m,
         "decode": decode,
         "decode_y4m": decode_y4m,
+        "media_params": media_params,
+        "encode_for_doc": encode_for_doc,
     }
 
 
@@ -495,20 +543,11 @@ def decode_media(blob: bytes, media_type: str | None = None) -> dict:
 
 # Deterministic real-blob parameter schedule — every field is arithmetic
 # in doc_id, so the DuckDB oracle can state the EXPECTED decoder output
-# and a header misparse fails the gate. Mirrored in the SQL below.
+# and a header misparse fails the gate. ONE Python definition (nested in
+# _build_codecs so executors get it by value); only the SQL mirror in the
+# oracle strings below is a second copy to keep in sync.
 def _real_media_params(doc_id: int) -> dict:
-    fill = doc_id % 256
-    kind = doc_id % 3
-    if kind == 0:  # PPM image
-        return {"media_type": "image", "width": 8 + doc_id % 24,
-                "height": 8 + (doc_id * 7) % 16, "fill": fill}
-    if kind == 1:  # PCM WAV
-        return {"media_type": "audio", "sample_rate": 8000 + 1000 * (doc_id % 4),
-                "n_channels": 1 + doc_id % 2, "n_samples": 64 + doc_id % 128,
-                "value": fill * 64 - 8192}
-    return {"media_type": "video", "width": 16 + 2 * (doc_id % 8),
-            "height": 16 + 2 * ((doc_id * 3) % 8),
-            "n_frames": 1 + doc_id % 5, "fill": fill}
+    return _CODECS["media_params"](doc_id)
 
 
 def media_real_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,29 +557,13 @@ def media_real_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same distributed shape real ingest has (blobs materialize on
     executors, never on the driver)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    enc_ppm, enc_wav, enc_y4m = (
-        _CODECS["encode_ppm"], _CODECS["encode_wav"], _CODECS["encode_y4m"]
-    )
+    encode_for_doc = _CODECS["encode_for_doc"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # noqa: F811 — by-value closure
 
-        def params(doc_id):
-            fill = doc_id % 256
-            kind = doc_id % 3
-            if kind == 0:
-                return ("image", enc_ppm(8 + doc_id % 24,
-                                         8 + (doc_id * 7) % 16, fill))
-            if kind == 1:
-                return ("audio", enc_wav(8000 + 1000 * (doc_id % 4),
-                                         1 + doc_id % 2, 64 + doc_id % 128,
-                                         fill * 64 - 8192))
-            return ("video", enc_y4m(16 + 2 * (doc_id % 8),
-                                     16 + 2 * ((doc_id * 3) % 8),
-                                     1 + doc_id % 5, fill))
-
         for pdf in batches:
-            made = [params(int(i)) for i in pdf["doc_id"]]
+            made = [encode_for_doc(int(i)) for i in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -194,9 +194,11 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
     (3x less inner-loop work in the batch k-NN join; the raw vector is
     recoverable as ``unit * norm`` when an exact-rerank needs it).
 
-    Reuse is keyed on a content fingerprint of ``embeddings.parquet`` and
-    the layout format (stored inside centroids.json): a regenerated
-    source OR an older-format artifact is rebuilt, never silently reused.
+    Reuse is keyed on a content fingerprint of ``embeddings.parquet``,
+    the layout format, AND a code fingerprint of this module + its
+    transitive imports (stored inside centroids.json): a regenerated
+    source, an older-format artifact, or an index built by edited code is
+    rebuilt, never silently reused.
     ``centroids.json`` is swapped in atomically AFTER the cell parquet
     finishes, so a concurrent reader either sees a complete matching
     artifact or rebuilds.
@@ -208,8 +210,15 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
     from ..sources.filesources import _scratch
     from .kmeans_df import KMeansConfig, assign_clusters, fit
 
+    import importlib
+
+    # importlib: keep gate_ledger out of the AST fingerprint walk (it is
+    # cache-keying mechanism, not query behavior — see filesources)
+    code_fp = importlib.import_module(
+        __package__.rsplit(".", 1)[0] + ".gate_ledger"
+    ).module_fingerprint(__package__ + ".similarity")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    fp = _source_fingerprint(src)
+    fp = _source_fingerprint(src) + ":" + code_fp
     key = os.path.abspath(sf_dir)
     hit = _IVF_INDEX_CACHE.get(key)
     if hit is not None and hit[0] == fp:

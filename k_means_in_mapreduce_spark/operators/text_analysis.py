@@ -27,7 +27,11 @@ _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 # ASCII-classed so Java regex (Spark) and RE2 (DuckDB) match identically —
 # RE2 has no lookahead and the two engines' \p{L} tables can differ.
 BPE_ISH_REGEX = r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
-_BPE_SQL = BPE_ISH_REGEX.replace("'", "''").replace("\\", "\\\\")
+# Only quote-escape for the SQL literal: DuckDB single-quoted strings do
+# NOT process backslash escapes, so doubling backslashes would corrupt the
+# regex ('\\s' = literal backslash or 's') and silently diverge the two
+# engines' token counts on whitespace-adjacent punctuation.
+_BPE_SQL = BPE_ISH_REGEX.replace("'", "''")
 
 
 @query(

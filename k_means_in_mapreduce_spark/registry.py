@@ -38,52 +38,23 @@ ORACLES: dict[str, str] = {}
 # priority list missed it) cannot recur: fingerprints cover transitive
 # intra-package imports.
 #
-# PRIORITY_OVERRIDE is a small transient hand escape hatch prepended ahead
-# of the derived order — currently the 7 events-path queries whose r3 green
-# predates the r4 ``normalize_event_ts`` reader change (VERDICT r4 item 2);
-# the ledger could not see that change because it was seeded after it.
-PRIORITY_OVERRIDE: list[str] = [
-    # r4 staleness incident: reader changed after these 7 went green (r3)
-    "events_asof_last_purchase",
-    "events_range_error_click",
-    "events_trailing_hour_value",
-    "events_value_outliers",
-    "stream_dedup_clicks",
-    "stream_static_enriched_purchases",
-    "stream_range_error_click",
-    # round-5 implementation changes: this round registry.py itself changed
-    # (ordering logic), which fingerprints EVERY query as tier-1 "changed";
-    # within that tier registration order would crowd these out of the
-    # ~50-row window, but their executed plans actually changed (single-
-    # scan CDF + artifact serving; artifact-served recall truths; exact
-    # kNN truth artifact) and must re-gate first.
-    "lineitem_price_quantiles",
-    "lineitem_price_quantiles_bound",
-    "dedup_minhash_lsh_recall",
-    "dedup_minhash_mllib_recall",
-    "dedup_simhash_recall",
-    "ann_knn_join_exact",
-    "ann_ivf_knn_join_recall",
-    "dedup_embedding_cosine_ivf",
-    "dedup_embedding_cosine_ivf_recall",
-    "dedup_connected_components",
-    "dedup_ngram_jaccard",
-    "dedup_groups_star",
-]
+# The hand escape hatch PRIORITY_OVERRIDE lives in gate_ledger.py (outside
+# every query's fingerprint cone — editing it there cannot flip queries to
+# "changed since green"; hosting it here would, since this module is a
+# transitive dependency of every registered query).
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry reordered so driver-unchecked queries land in the gate window."""
-    missing = set(PRIORITY_OVERRIDE) - QUERIES.keys()
-    assert not missing, f"PRIORITY_OVERRIDE names not registered: {sorted(missing)}"
     # importlib on purpose: ordering logic is not a behavior dependency of
     # any query, so it must stay out of gate_ledger's fingerprint walk.
     import importlib
 
-    derived = importlib.import_module(
-        f"{__package__}.gate_ledger"
-    ).derive_order(QUERIES)
-    first = list(PRIORITY_OVERRIDE)
+    gl = importlib.import_module(f"{__package__}.gate_ledger")
+    missing = set(gl.PRIORITY_OVERRIDE) - QUERIES.keys()
+    assert not missing, f"PRIORITY_OVERRIDE names not registered: {sorted(missing)}"
+    derived = gl.derive_order(QUERIES)
+    first = list(gl.PRIORITY_OVERRIDE)
     return {n: QUERIES[n] for n in first + [d for d in derived if d not in set(first)]}
 
 

@@ -24,6 +24,7 @@ from ..registry import query
 from ..sources import load_table
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+PACKAGE_ROOT = __package__.rsplit(".", 1)[0]
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
@@ -376,25 +377,38 @@ def materialized_artifact(
     """Build-once materialization of a DETERMINISTIC derived DataFrame.
 
     ``build()`` produces the DataFrame; the result is persisted as a
-    scratch parquet keyed on the content fingerprint of
-    ``<sf_dir>/<source_file>`` plus the algorithm parameters; every later
-    consumer reads the artifact. A changed source or parameter rebuilds —
-    never a silent reuse (meta.json is swapped in atomically AFTER the
-    data commit, so a torn build is invisible to readers). Pattern shared
-    by the IVF index, the dedup pair/signature artifacts, and the exact-
-    quantile results; at 100 TB these are exactly the intermediates a
-    pipeline persists as first-class tables."""
+    scratch parquet keyed on (a) the content fingerprint of
+    ``<sf_dir>/<source_file>``, (b) the algorithm parameters, and (c) a
+    CODE fingerprint of ``build``'s defining module including its
+    transitive intra-package imports (gate_ledger's working-tree walk) —
+    so editing the producing code rebuilds the artifact instead of
+    silently serving parquet built by the old code (which would let a
+    re-gate of changed code go green against stale outputs). meta.json is
+    swapped in atomically AFTER the data commit, so a torn build is
+    invisible to readers. Pattern shared by the IVF index, the dedup
+    pair/signature artifacts, and the exact-quantile results; at 100 TB
+    these are exactly the intermediates a pipeline persists as
+    first-class tables."""
+    import importlib
     import json
 
+    # importlib on purpose: gate_ledger provides the fingerprint MECHANISM
+    # but its own content never changes any query's results, so it must
+    # stay out of the AST fingerprint walk (a visible import here would
+    # put gate_ledger.py — including its hand-edited PRIORITY_OVERRIDE —
+    # into the fingerprint cone of every artifact-serving query).
+    code_fp = importlib.import_module(
+        f"{PACKAGE_ROOT}.gate_ledger"
+    ).module_fingerprint(build.__module__)
     src = os.path.join(sf_dir, source_file)
     fp = source_fingerprint(src)
     key = (os.path.abspath(sf_dir), name)
     hit = _ARTIFACT_CACHE.get(key)
-    if hit is None or hit[0] != fp:
+    if hit is None or hit[0] != (fp, code_fp):
         root = _scratch(sf_dir, f"art_{name}")
         data_dir = os.path.join(root, "data")
         meta_file = os.path.join(root, "meta.json")
-        want = {"fingerprint": fp, **params}
+        want = {"fingerprint": fp, "code": code_fp, **params}
         fresh = False
         if os.path.exists(meta_file) and os.path.exists(
             os.path.join(data_dir, "_SUCCESS")
@@ -408,5 +422,5 @@ def materialized_artifact(
             with open(tmp, "w") as fh:
                 json.dump(want, fh)
             os.replace(tmp, meta_file)  # atomic commit point
-        _ARTIFACT_CACHE[key] = (fp, data_dir)
+        _ARTIFACT_CACHE[key] = ((fp, code_fp), data_dir)
     return spark.read.parquet(_ARTIFACT_CACHE[key][1])

@@ -51,13 +51,19 @@ class StreamingKMeansState:
         assigned = assign_clusters(batch_df, self.centroids, features_col)
         rows = cluster_features(assigned, len(self.centroids[0]),
                                 features_col).collect()
+        # MLlib StreamingKMeans semantics: EVERY cluster's weight is
+        # discounted each batch — including clusters that received no
+        # points — or an intermittently-active cluster would keep its full
+        # historical weight and barely move when drifted data returns
+        # (forgetting, the purpose of decay<1, would silently fail).
         a = self.decay
+        self.weights = [a * w for w in self.weights]
         moved = 0.0
         for r in rows:
             i = r["cluster_id"]
             m = float(r["num_points"])
             mean = list(r["centroid"])
-            w = a * self.weights[i]
+            w = self.weights[i]
             new_w = w + m
             old = self.centroids[i]
             new_c = [

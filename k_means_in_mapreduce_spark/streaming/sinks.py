@@ -62,8 +62,11 @@ class EpochCommittedParquetSink:
             self.replayed_epochs.append(epoch_id)
             return
         path = os.path.join(self.root, f"epoch={epoch_id}")
-        n_rows = batch_df.count()
         batch_df.write.mode("overwrite").parquet(path)
+        # row count from the WRITTEN files' footers (metadata-only scan) —
+        # a batch_df.count() before the write would execute the upstream
+        # micro-batch lineage twice per epoch
+        n_rows = batch_df.sparkSession.read.parquet(path).count()
         tmp = self._entry(epoch_id) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump({"epoch": epoch_id, "n_rows": n_rows, "path": path}, fh)

@@ -113,6 +113,12 @@ _SESSION_OUT_SCHEMA = (
 
 
 def idle_timeout_sessions(ev: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    # captured by the closure: applyInPandasWithState hands the UDF naive
+    # timestamps LOCALIZED to the session timezone, while
+    # setTimeoutTimestamp expects UTC epoch millis — localize before
+    # converting or the timeout is offset by the tz delta on any non-UTC
+    # session (sessions would close hours early/late).
+    session_tz = ev.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     """Per-user sessions with custom payload, CLOSED BY STATE TIMEOUT —
     the eviction contract ``running_totals_agg`` deliberately skips
     (NoTimeout is fine for O(users) keys; session-like keys are unbounded
@@ -162,7 +168,10 @@ def idle_timeout_sessions(ev: DataFrame, gap_sec: int = 1800) -> DataFrame:
             last_ts = b_max if last_ts is None else max(last_ts, b_max)
         state.update((n, total, start_ts, last_ts))
         # re-arm: close when the watermark passes last event + gap
-        close_at = pd.Timestamp(last_ts) + pd.Timedelta(seconds=gap_sec)
+        close_at = (
+            pd.Timestamp(last_ts).tz_localize(session_tz)
+            + pd.Timedelta(seconds=gap_sec)
+        )
         state.setTimeoutTimestamp(int(close_at.timestamp() * 1000))
         yield from ()  # append mode: open sessions emit nothing
 

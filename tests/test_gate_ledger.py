@@ -83,8 +83,8 @@ def test_ledger_on_disk_covers_all_queries():
 
 def test_ordered_queries_leads_with_override_then_unchecked():
     order = list(registry.ordered_queries())
-    n_over = len(registry.PRIORITY_OVERRIDE)
-    assert order[:n_over] == registry.PRIORITY_OVERRIDE
+    n_over = len(gl.PRIORITY_OVERRIDE)
+    assert order[:n_over] == gl.PRIORITY_OVERRIDE
     assert set(order) == set(registry.QUERIES)
     # Any query with no ledger row must appear before all clean+checked rows.
     ledger = gl.load_ledger()

@@ -652,3 +652,29 @@ def test_idle_timeout_sessions_evict_and_emit_once(spark, tmp_path):
     assert closed[0]["session_end"] == T(9, 10)
     assert closed[1]["n_events"] == 1 and closed[1]["total_value"] == 5.0
     # user 2's session is still open: no emission, state retained
+
+
+def test_streaming_kmeans_decay_discounts_idle_clusters(spark):
+    """decay<1 must discount EVERY cluster's weight per batch, including
+    ones that received no points — otherwise forgetting fails for
+    intermittent clusters (MLlib StreamingKMeans semantics)."""
+    from k_means_in_mapreduce_spark.streaming.kmeans_stream import (
+        streaming_kmeans,
+    )
+
+    # batch 0 hits BOTH clusters; batches 1..n only hit cluster 0
+    model = streaming_kmeans([[0.0, 0.0], [100.0, 100.0]], decay=0.5)
+    both = spark.createDataFrame(
+        [([0.1, 0.1],), ([99.9, 100.1],)], "features array<double>"
+    )
+    only0 = spark.createDataFrame(
+        [([0.2, -0.1],), ([0.0, 0.1],)], "features array<double>"
+    )
+    model.update(both, 0)
+    w1_after_first = model.weights[1]
+    assert w1_after_first == 1.0  # one point landed on cluster 1
+    model.update(only0, 1)
+    model.update(only0, 2)
+    # idle cluster 1's weight must halve each batch, not stay frozen
+    assert model.weights[1] == w1_after_first * 0.25
+    assert model.weights[0] > 0
