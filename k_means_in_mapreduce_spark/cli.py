@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     if k <= 0 or max_iter <= 0 or dim <= 0 or num_reducer <= 0:
         print(f"arguments must be positive\n{USAGE}", file=sys.stderr)
         return 2
+    if epsilon < 0:
+        # a negative tolerance can never be reached by Σ‖Δc‖₂ >= 0: the
+        # fit would silently burn max_iter iterations — reject like the
+        # other arguments (0 is legal: "run exactly max_iter iterations")
+        print(f"epsilon must be >= 0\n{USAGE}", file=sys.stderr)
+        return 2
 
     from .session import get_session
     from .sources.text_points import parse_points
@@ -95,10 +101,18 @@ def _run_fit(pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out) -> i
     from .operators.kmeans_df import KMeansConfig, fit
     from .sources.text_points import format_points
 
-    bad = pts.filter(F.size("features") != dim).count()
+    # Fail fast like the reference (NumberFormatException kills the job,
+    # KMeans.java:269): wrong arity OR any non-numeric token. The parser's
+    # element-wise cast turns a bad token into a NULL element that would
+    # otherwise pass the arity check and poison centroids with NaN.
+    bad = pts.filter(
+        (F.size("features") != dim)
+        | F.exists("features", lambda x: x.isNull())
+    ).count()
     if bad:
         print(
-            f"{bad} input line(s) do not have the declared dim={dim}",
+            f"{bad} input line(s) do not have the declared dim={dim} "
+            "or contain non-numeric values",
             file=sys.stderr,
         )
         return 1

@@ -43,6 +43,13 @@ def asof_join(
 
     ``payload`` maps right-side column -> output column name. Left rows
     with no prior right row get nulls (left-outer as-of semantics).
+
+    Tie-break: multiple right rows sharing (key, ts) are ordered by their
+    payload columns, so the carried row is DETERMINISTIC (the greatest
+    payload tuple wins) instead of whichever row the shuffle happened to
+    place last — without this, duplicate right-side timestamps make the
+    result flip between runs/partitionings. (ASOF SQL engines leave the
+    tie unspecified; a deterministic pick is strictly safer.)
     """
     r = right.select(
         F.col(key),
@@ -52,10 +59,12 @@ def asof_join(
     )
     l = left.withColumn("_t", F.col(left_ts)).withColumn("_m", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
-    # right rows (_m=0) sort before left rows at equal _t => "at-or-before"
+    # right rows (_m=0) sort before left rows at equal _t => "at-or-before";
+    # payload columns break ties among right rows at the same _t (left
+    # rows carry nulls there, but _m already separates them)
     w = (
         Window.partitionBy(key)
-        .orderBy("_t", "_m")
+        .orderBy("_t", "_m", *[F.col(dst) for dst in payload.values()])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(

@@ -404,6 +404,12 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-doc count."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens("text").alias("toks"))
+    # explode_outer, NOT explode, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, whose size()>0 filter gets pushed below the
+    # projection and re-evaluates the whole n-gram expression per row
+    # (same measured pathology as dedup.jaccard_pairs, 7.8s -> 0.9s). The
+    # toks-size filter above already guarantees no empty arrays, so the
+    # outer variant is value-identical.
     sh = toked.filter(F.size("toks") >= DECON_NGRAM).select(
         "doc_id",
         F.explode_outer(

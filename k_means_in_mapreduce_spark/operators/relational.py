@@ -146,9 +146,13 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.join(dims, c.c_nationkey == dims.n_nationkey).select(
         "c_custkey", "n_name"
     )
+    # cust is customer-sized (~1/5 of all customers) — a FACT side, not a
+    # dim: no broadcast hint (at 100 TB it would blow the broadcast limit;
+    # the module contract is dims-broadcast, fact-fact shuffle). AQE may
+    # still choose broadcast at small SFs from runtime stats — fine.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

@@ -15,10 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 def _parse_expr(col: str) -> F.Column:
-    """Expression parsing one ``<a, b, c>`` line into array<double>."""
-    return F.split(
-        F.regexp_replace(F.trim(F.col(col)), "[<>]", ""), ",\\s*"
-    ).cast("array<double>")
+    """Expression parsing one ``<a, b, c>`` line into array<double>.
+
+    Element-wise ``try_cast``: a non-numeric token becomes a NULL element
+    instead of throwing mid-job from the ANSI cast — the CLI's validation
+    gate then rejects such rows with a clean error and exit code (the
+    reference dies on NumberFormatException, KMeans.java:269; we fail
+    just as loudly but controlled). Valid data parses identically."""
+    toks = F.split(F.regexp_replace(F.trim(F.col(col)), "[<>]", ""), ",\\s*")
+    return F.transform(toks, lambda s: s.try_cast("double"))
 
 
 def parse_points(spark: SparkSession, path: str) -> DataFrame:

@@ -114,8 +114,13 @@ def _run_to_memory(
     # Materialize JVM-side and sever lineage from the (stopped) memory
     # sink: localCheckpoint keeps the rows as executor blocks — no
     # collect-to-Python round-trip (1.6 s for ~95k session rows at sf0.1,
-    # vs 0.2 s for the checkpoint).
-    return spark.table(name).localCheckpoint(eager=True)
+    # vs 0.2 s for the checkpoint). Then DROP the sink's temp view — it
+    # pins the full materialized result in driver memory for the session
+    # lifetime otherwise, and a long-lived gate/bench session runs many
+    # streaming queries (same leak class as the fixed CLI cache leak).
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +132,6 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
-            F.approx_count_distinct("user_id").alias("n_users_approx"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -199,9 +203,11 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
     state would grow unboundedly — this is THE correctness/scale contract
     of stream-stream joins. Output mode must be append (join emits a row
     exactly when both sides have arrived)."""
+    # ONE source stream, filtered per side — a second read_events_stream
+    # call would repeat the batch schema probe for no reason
+    ev = read_events_stream(spark, sf_dir)
     errors = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "error")
+        ev.filter(F.col("event_type") == "error")
         .withWatermark("ts", "1 hour")
         .select(
             F.col("event_id").alias("error_event_id"),
@@ -210,8 +216,7 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     clicks = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == "click")
         .withWatermark("ts", "1 hour")
         .select(
             F.col("event_id").alias("click_event_id"),

@@ -220,3 +220,22 @@ def test_mllib_model_persistence_roundtrip(spark, tmp_path, emb):
     a = {r["vec_id"]: r["cluster_id"] for r in res.model.transform(vecs).collect()}
     b = {r["vec_id"]: r["cluster_id"] for r in loaded.transform(vecs).collect()}
     assert a == b
+
+
+def test_cli_rejects_non_numeric_tokens_and_negative_epsilon(spark, tmp_path):
+    """Reference parity for malformed input: a non-numeric token must fail
+    the run (KMeans.java:269 dies on NumberFormatException) instead of
+    becoming a NULL element that passes the arity gate and poisons the
+    centroids with NaN; a negative epsilon is rejected at argument
+    validation like the other numeric args."""
+    from k_means_in_mapreduce_spark.cli import main
+
+    inp = tmp_path / "pts"
+    inp.mkdir()
+    (inp / "points.txt").write_text("<1.0, 2.0>\n<3.0, abc>\n<5.0, 6.0>\n")
+    out = str(tmp_path / "out")
+    rc = main([str(inp), "2", "3", out, "2", "0.001", "2"])
+    assert rc == 1
+
+    rc2 = main([str(inp), "2", "3", out, "2", "-0.5", "2"])
+    assert rc2 == 2
