@@ -22,26 +22,12 @@ def _col(c: ColumnOrName) -> Column:
 def normalized(text: ColumnOrName) -> Column:
     """Lowercase, collapse whitespace, strip — the canonical form used by
     fingerprints and near-dup shingling."""
-    return F.trim(F.regexp_replace(F.lower(_col(text)), "\\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(_col(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
 
 def tokens(text: ColumnOrName) -> Column:
     """Whitespace tokens of the normalized text."""
     return F.split(normalized(text), " ")
-
-
-def word_tokens(text: ColumnOrName) -> Column:
-    """BPE-ish tokens: runs of word chars OR single non-space punctuation,
-    via regexp_extract_all — closer to a subword tokenizer's pre-split."""
-    return F.expr(
-        f"regexp_extract_all({_sql(text)}, \"[a-z0-9']+|[^a-z0-9'\\\\s]\", 0)"
-    )
-
-
-def _sql(c: ColumnOrName) -> str:
-    if isinstance(c, str):
-        return c
-    raise TypeError("word_tokens needs a column name string")
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
@@ -58,14 +44,30 @@ def word_ngrams(toks: Column, n: int) -> Column:
     )
 
 
-def char_ngrams(text: Column, n: int) -> Column:
-    """Character n-gram shingles of a string column."""
-    upper = F.length(text) - F.lit(n)
-    return F.when(upper < 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), upper + 1),
-            lambda i: F.substring(text, i, n),
-        )
+# chars NOT counted as punctuation by the quality gate; whitespace stays
+# in the explicit cross-engine class form (see normalized()).
+NON_PUNCT_CLASS = "[a-z0-9 \\t\\n\\x0B\\f\\r]"
+
+
+def punct_ratio(text: ColumnOrName) -> Column:
+    """Fraction of characters that are neither alphanumeric nor
+    whitespace — THE shared quality-gate expression (text_quality and
+    pipeline_training_corpus must stay in lockstep; SQL twin:
+    text_analysis._PUNCT_SQL)."""
+    t = _col(text)
+    return (
+        F.length(F.regexp_replace(F.lower(t), NON_PUNCT_CLASS, "")).cast("double")
+        / F.length(t)
+    )
+
+
+def stopword_ratio(toks: Column, stopwords) -> Column:
+    """Fraction of tokens in the stopword list (SQL twin:
+    text_analysis._SW_RATIO_SQL)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        / F.size(toks)
     )
 
 

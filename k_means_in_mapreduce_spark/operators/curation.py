@@ -101,7 +101,7 @@ def documents_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toked AS (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
                             ' ') AS toks
         FROM documents
     ),
@@ -152,7 +152,7 @@ def docs_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toked AS (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
                             ' ') AS toks
         FROM documents
     ),
@@ -347,9 +347,9 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT source,
            count(*) AS n_docs,
-           count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
                AS n_unique,
-           1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+           1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
                  / CAST(count(*) AS DOUBLE) AS dup_rate
     FROM documents GROUP BY source
     """,
@@ -376,7 +376,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toked AS (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
                             ' ') AS toks
         FROM documents
     ),

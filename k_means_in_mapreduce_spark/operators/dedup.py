@@ -63,7 +63,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_exact",
     """
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+    SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS content_hash,
            min(doc_id) AS keeper_doc_id,
            count(*) AS n_copies
     FROM documents
@@ -120,7 +120,7 @@ _JACCARD_SQL = f"""
                               for i in range(1, len(toks) - {NGRAM_N - 2})]) AS shingles
         FROM (
             SELECT doc_id,
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                   string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
             FROM documents
         )
         WHERE len(toks) >= {NGRAM_N}

@@ -26,7 +26,15 @@ from pyspark.sql import functions as F
 from ..functions.text import normalized, tokens
 from ..registry import query
 from ..sources import load_table
-from .text_analysis import STOPWORDS, _SW_SQL
+from ..functions.text import punct_ratio as punct_ratio_expr
+from ..functions.text import stopword_ratio as stopword_ratio_expr
+from .text_analysis import (
+    _NORM_SQL,
+    _PUNCT_SQL,
+    _SW_RATIO_SQL,
+    _TOKS_SQL,
+    STOPWORDS,
+)
 
 MIN_TOKENS = 10
 MAX_PUNCT_RATIO = 0.30
@@ -38,10 +46,9 @@ MIN_STOPWORD_RATIO = 0.02
     f"""
     WITH toked AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
-               CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-                   / length(text) AS punct_ratio
+               {_NORM_SQL} AS norm,
+               {_TOKS_SQL} AS toks,
+               {_PUNCT_SQL} AS punct_ratio
         FROM documents
         WHERE length(text) > 0
     ),
@@ -49,13 +56,11 @@ MIN_STOPWORD_RATIO = 0.02
         SELECT doc_id, norm,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                punct_ratio,
-               CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
-                   / len(toks) AS stopword_ratio
+               {_SW_RATIO_SQL} AS stopword_ratio
         FROM toked
         WHERE len(toks) >= {MIN_TOKENS}
           AND punct_ratio <= {MAX_PUNCT_RATIO}
-          AND CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
-                  / len(toks) >= {MIN_STOPWORD_RATIO}
+          AND {_SW_RATIO_SQL} >= {MIN_STOPWORD_RATIO}
     )
     SELECT md5(norm) AS content_hash,
            min(doc_id) AS doc_id,
@@ -70,26 +75,17 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving (deduplicated) document. All copies of a given normalized
     text share n_tokens, so min(n_tokens) is exact, not approximate."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
     toked = d.select(
         "doc_id",
         normalized("text").alias("norm"),
         tokens("text").alias("toks"),
-        (
-            F.length(F.regexp_replace(F.lower("text"), "[a-z0-9\\s]", "")).cast(
-                "double"
-            )
-            / F.length("text")
-        ).alias("punct_ratio"),
+        punct_ratio_expr("text").alias("punct_ratio"),
     )
     gated = (
         toked.withColumn("n_tokens", F.size("toks").cast("bigint"))
         .withColumn(
             "stopword_ratio",
-            F.size(F.filter("toks", lambda t: F.array_contains(sw, t))).cast(
-                "double"
-            )
-            / F.size("toks"),
+            stopword_ratio_expr(F.col("toks"), STOPWORDS),
         )
         .filter(
             (F.col("n_tokens") >= MIN_TOKENS)

@@ -133,6 +133,10 @@ def exact_quantiles(
     from pyspark.sql import Window as W
 
     n_buckets = _cdf_buckets(df.sparkSession)
+    # NULL values are excluded up front — quantile_cont / percentile /
+    # numpy all ignore NULLs; without this filter they would enter the CDF
+    # (sorting first) and shift every rank.
+    df = df.filter(F.col(val_col).isNotNull())
     # ONE scan of the base table: everything downstream (split points,
     # group totals, the CDF itself) derives from the distinct-value counts.
     # localCheckpoint so the three consumers share the materialized result

@@ -20,6 +20,17 @@ from ..sources import load_table
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
+# Shared DuckDB oracle fragments — the SQL twins of functions.text's
+# normalized()/tokens()/punct_ratio()/stopword_ratio(); pipeline.py
+# imports these so the gate expressions exist in exactly one SQL form.
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_PUNCT_SQL = (
+    "CAST(length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) "
+    "AS DOUBLE) / length(text)"
+)
+_SW_RATIO_SQL = f"CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE) / len(toks)"
+
 
 # BPE-ish pre-tokenizer regex (GPT-2 style, simplified): contractions,
 # space-prefixed letter runs, space-prefixed digit runs, space-prefixed
@@ -47,8 +58,8 @@ _BPE_SQL = BPE_ISH_REGEX.replace("'", "''")
                AS n_bpe_tokens
     FROM (
         SELECT doc_id, text,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+               trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
         FROM documents
     )
     """,
@@ -83,14 +94,14 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+           CAST(length(regexp_replace(lower(text), '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                / length(text) AS punct_ratio,
            CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE)
                / len(toks) AS stopword_ratio,
            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
     FROM (
         SELECT doc_id, text,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+               string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
         FROM documents
         WHERE length(text) > 0
     )
@@ -99,23 +110,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio,
     type-token ratio — the standard cheap pretraining-corpus filters."""
+    from ..functions.text import punct_ratio, stopword_ratio
+
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     toks = tokens("text")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        (
-            F.length(F.regexp_replace(F.lower("text"), "[a-z0-9\\s]", "")).cast(
-                "double"
-            )
-            / F.length("text")
-        ).alias("punct_ratio"),
-        (
-            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
-            / F.size(toks)
-        ).alias("stopword_ratio"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio(toks, STOPWORDS).alias("stopword_ratio"),
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
     )
 
@@ -132,8 +136,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS min_shingle_md5
     FROM (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+               trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm,
+               string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
         FROM documents
     )
     """,
@@ -191,7 +195,7 @@ def _lang_scores_sql() -> str:
            {_lang_scores_sql()}
         FROM (
             SELECT doc_id,
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                   string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
             FROM documents
         )
     )

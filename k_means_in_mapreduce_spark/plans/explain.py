@@ -34,7 +34,8 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in explain_string(df) or "BroadcastNestedLoopJoin" in explain_string(df)
+    plan = explain_string(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def count_exchanges(df: DataFrame) -> int:

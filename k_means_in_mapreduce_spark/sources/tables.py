@@ -50,5 +50,5 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | No
     """Register each table as a temp view so operators can use spark.sql."""
     from ..session import TABLES
 
-    for name in names or TABLES:
+    for name in (names if names is not None else TABLES):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

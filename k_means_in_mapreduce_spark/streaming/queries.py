@@ -31,7 +31,8 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_sliding_quarter_hour",
     """
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900 - t.i * 900) AS TIMESTAMP)
+    SELECT TIMESTAMP '1970-01-01'
+               + INTERVAL (floor(epoch(ts) / 900) * 900 - t.i * 900) SECOND
                AS window_start,
            event_type,
            count(*) AS n_events,
