@@ -53,15 +53,26 @@ def media_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fake_decode(blob: bytes, media_type: str) -> dict:
-    """Deterministic stand-in for decode_media: derives plausible metadata
-    purely from the payload bytes so results are reproducible."""
-    n = len(blob)
-    if media_type == "image":
-        return {"width": 16 + n % 1024, "height": 16 + (n * 7) % 768, "n_frames": 1}
-    if media_type == "audio":
-        return {"width": 0, "height": 0, "n_frames": n // 4}  # "samples"
-    return {"width": 320, "height": 240, "n_frames": max(1, n // 64)}
+def _build_fake_decode():
+    """Nested so closures capture it BY VALUE (cloudpickle ships nested
+    functions whole; a module-level function would pickle by reference and
+    fail on executors without this package) — ONE definition instead of
+    the inline duplicate multimodal_decode_meta used to carry."""
+
+    def fake_decode(blob: bytes, media_type: str) -> dict:
+        n = len(blob)
+        if media_type == "image":
+            return {"width": 16 + n % 1024, "height": 16 + (n * 7) % 768,
+                    "n_frames": 1}
+        if media_type == "audio":
+            return {"width": 0, "height": 0, "n_frames": n // 4}  # "samples"
+        return {"width": 320, "height": 240, "n_frames": max(1, n // 64)}
+
+    return fake_decode
+
+
+#: deterministic stand-in for decode_media over the text-byte fixture
+fake_decode = _build_fake_decode()
 
 
 @query(
@@ -111,30 +122,29 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM blobs
     """,
 )
-def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode_meta(
+    spark: SparkSession, sf_dir: str, media_type: str | None = None
+) -> DataFrame:
     """The decode stage plumbing: Arrow-batched mapInPandas over the blob
     column (the real decoder would drop into fake_decode's place). One
-    Python round-trip per batch; output schema is fixed and typed."""
+    Python round-trip per batch; output schema is fixed and typed.
+
+    ``media_type`` filters BEFORE the Python stage: the metadata column
+    exists pre-decode, so a type-restricted consumer (frame sampling,
+    resize planning) must not ship and decode the other types' payloads
+    across the Arrow boundary only to discard 2/3 of the rows."""
     m = media_blob_table(spark, sf_dir)
+    if media_type is not None:
+        m = m.filter(F.col("media_type") == media_type)
 
-    # NOTE: the closure must be SELF-CONTAINED (no references to this
-    # module's globals) so cloudpickle ships it by value — executor Python
-    # workers do not have this package on sys.path.
+    _fake = fake_decode  # nested fn -> captured by value, single definition
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pandas as pd  # noqa: F811 — by-value closure, see above
-
-        def _fake_decode(blob: bytes, media_type: str) -> dict:
-            n = len(blob)
-            if media_type == "image":
-                return {"width": 16 + n % 1024, "height": 16 + (n * 7) % 768,
-                        "n_frames": 1}
-            if media_type == "audio":
-                return {"width": 0, "height": 0, "n_frames": n // 4}
-            return {"width": 320, "height": 240, "n_frames": max(1, n // 64)}
+        import pandas as pd  # noqa: F811 — by-value closure
 
         for pdf in batches:
             metas = [
-                _fake_decode(blob, mt)
+                _fake(blob, mt)
                 for blob, mt in zip(pdf["blob"], pdf["media_type"])
             ]
             yield pd.DataFrame(
@@ -176,8 +186,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 8th frame, max 4) — the UDTF-style fan-out shape a video
     pipeline needs. Pure-expression fan-out via sequence+explode keeps it
     JVM-side; a real sampler would decode inside mapInPandas instead."""
-    decoded = multimodal_decode_meta(spark, sf_dir)
-    vids = decoded.filter(F.col("media_type") == "video")
+    vids = multimodal_decode_meta(spark, sf_dir, media_type="video")
     frame_idx = F.explode(
         F.sequence(
             F.lit(0),
@@ -237,9 +246,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = np.arange(1, 9, dtype=np.int64)
         for pdf in batches:
             n = pdf["blob"].map(len).to_numpy(dtype=np.int64)
-            b0 = pdf["blob"].map(lambda b: b[0] if len(b) else 0).to_numpy(
-                dtype=np.int64
-            )
+            # first CHARACTER's code point, matching the oracle's
+            # ascii(substr(text,1,1)) — the first BYTE of the UTF-8 blob
+            # diverges on any non-ASCII leading character (0xC3 vs 233
+            # for 'é'); the blob is the UTF-8 encoding of the text, so
+            # decoding is exact
+            b0 = pdf["blob"].map(
+                lambda b: ord(b.decode("utf-8")[0]) if len(b) else 0
+            ).to_numpy(dtype=np.int64)
             emb = (n[:, None] * idx[None, :] + 7 * b0[:, None]) % 997
             yield pd.DataFrame(
                 {
@@ -293,8 +307,7 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — the cheap planning stage that decides work BEFORE
     payload bytes move; the pixel resize itself would run next to the
     decoder inside mapInPandas."""
-    decoded = multimodal_decode_meta(spark, sf_dir)
-    imgs = decoded.filter(F.col("media_type") == "image")
+    imgs = multimodal_decode_meta(spark, sf_dir, media_type="image")
     w, h = F.col("width"), F.col("height")
     longest = F.greatest(w, h)
     return imgs.select(

@@ -3,7 +3,9 @@
 here with Spark builtins so the engine's surface is complete).
 
 - UNION / INTERSECT / EXCEPT over order-key sets (``union``+``distinct``,
-  ``intersect``, ``exceptAll``→``distinct``). All three plan as hash
+  ``intersect``, ``subtract`` = EXCEPT DISTINCT — NOT exceptAll-then-
+  distinct, whose bag difference would keep keys the left side merely has
+  more copies of). All three plan as hash
   aggregations / left-semi / left-anti joins under AQE — no sort.
 - CUBE and GROUPING SETS over lineitem dimensions. Group-key NULLs that
   cube/rollup inject are COALESCEd to the literal 'ALL' so results are

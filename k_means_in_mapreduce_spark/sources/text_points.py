@@ -53,7 +53,14 @@ def format_points(df: DataFrame, features_col: str = "features") -> DataFrame:
     (Point.java:96-106)."""
     return df.withColumn(
         "point_str",
-        F.concat(F.lit("<"), F.array_join(F.col(features_col), ", "), F.lit(">")),
+        # nullReplacement keeps the arity: a NULL element (malformed-token
+        # sentinel from _parse_expr) egresses as a visible NaN instead of
+        # being silently DROPPED, which would shrink the point's dimension
+        F.concat(
+            F.lit("<"),
+            F.array_join(F.col(features_col), ", ", "NaN"),
+            F.lit(">"),
+        ),
     )
 
 
