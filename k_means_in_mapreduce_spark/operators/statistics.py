@@ -568,3 +568,49 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sd_value",
         )
     )
+
+
+@query(
+    "events_user_value_trend",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           covar_samp(epoch(ts), value) / var_samp(epoch(ts)) AS slope_per_sec,
+           avg(value) - covar_samp(epoch(ts), value) / var_samp(epoch(ts))
+               * avg(epoch(ts)) AS intercept
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 2 AND var_samp(epoch(ts)) > 0
+    """,
+)
+def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordinary-least-squares trend of event value over time —
+    the drift-detection analytic a training-data pipeline runs per
+    source/segment. Closed form (slope = cov(t, v)/var(t)) means ONE
+    hash aggregate with builtin covar_samp/var_samp buffers — no window,
+    no sort, no Python; state per group is five scalars at any n, and the
+    partial/final agg split shuffles O(tasks x users) rows only.
+
+    epoch seconds via a tz-free cast (``unix_micros``/1e6 in Spark,
+    ``epoch()`` in DuckDB — both interpret the stored naive timestamp
+    identically; verified by the gate under non-UTC oracle hosts)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
+    g = (
+        ev.select("user_id", t.alias("_t"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.covar_samp("_t", "value") / F.var_samp("_t")).alias(
+                "slope_per_sec"
+            ),
+            (
+                F.avg("value")
+                - (F.covar_samp("_t", "value") / F.var_samp("_t")) * F.avg("_t")
+            ).alias("intercept"),
+            F.var_samp("_t").alias("_var_t"),
+        )
+    )
+    return g.filter((F.col("n_events") >= 2) & (F.col("_var_t") > 0)).drop(
+        "_var_t"
+    )
