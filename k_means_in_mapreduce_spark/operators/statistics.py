@@ -614,3 +614,52 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter((F.col("n_events") >= 2) & (F.col("_var_t") > 0)).drop(
         "_var_t"
     )
+
+
+HIST_BINS = 10
+
+
+@query(
+    "lineitem_price_histogram",
+    f"""
+    WITH b AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(least(floor((l_extendedprice - b.lo)
+                            / ((b.hi - b.lo) / {HIST_BINS})),
+                      {HIST_BINS - 1}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(l_extendedprice) AS bin_total
+    FROM lineitem, b
+    GROUP BY l_returnflag, bin
+    """,
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equi-width histogram — the distribution report a corpus/
+    feature pipeline emits per segment. Two passes, both cheap: a global
+    (min, max) aggregate (two doubles to the driver) folded into the plan
+    as literals, then ONE hash aggregate on (group, bin) where bin is
+    pure double arithmetic — identical IEEE operations in the oracle, so
+    boundary assignment matches bit-for-bit. The top edge folds into the
+    last bin (least(..., bins-1)), the standard closed-right convention.
+    At 100 TB: no shuffle beyond the (group x bins)-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    ).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / HIST_BINS
+    bin_col = F.least(
+        F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)),
+        F.lit(HIST_BINS - 1),
+    ).cast("bigint")
+    return (
+        li.select("l_returnflag", "l_extendedprice", bin_col.alias("bin"))
+        .groupBy("l_returnflag", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_extendedprice").alias("bin_total"),
+        )
+    )
