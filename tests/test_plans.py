@@ -337,3 +337,16 @@ def test_exact_quantiles_cdf_window_is_range_distributed(spark):
     for s in specs:
         if "l_extendedprice" in s:
             assert "_bkt" in s, s
+
+
+def test_trend_and_histogram_are_single_aggregate_plans(spark):
+    """The closed-form OLS trend and the equi-width histogram must each
+    plan as ONE shuffle (the partial/final hash-agg exchange) — no window,
+    no sort, no Python stage; their per-group state is a handful of
+    scalars at any n."""
+    for name in ("events_user_value_trend", "lineitem_price_histogram"):
+        df = registry.QUERIES[name](spark, SF001)
+        plan = explain_string(df)
+        assert count_exchanges(df) == 1, (name, plan)
+        assert "Window" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
