@@ -1,0 +1,119 @@
+"""Build-once artifact machinery — a LEAF module by design.
+
+Nothing here imports from the package core (registry, operators,
+sources), so this file sits in the fingerprint cone ONLY of queries that
+actually serve artifacts. Hosting this machinery in a query-bearing
+module (it used to live in sources/filesources.py, which registry.py
+pulls into EVERY query's cone) meant any tweak to it flipped all queries
+to "changed since green" and invalidated every on-disk artifact at once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PACKAGE_ROOT = __package__
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    return os.path.join(_REPO_ROOT, ".tmp", f"{name}{tag}")
+
+
+def source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir: name+size+mtime of
+    every data file. Regenerated source data -> different fingerprint ->
+    derived artifacts (bucketed copies, ANN indexes) are rebuilt instead
+    of silently reused."""
+    import hashlib
+
+    parts = []
+    if os.path.isdir(path):
+        for dirpath, _, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                # path RELATIVE to the fingerprinted root, not basename: a
+                # data file moved across subdirectories (rename preserves
+                # mtime) must change the fingerprint, or a stale bucketed
+                # copy / IVF index would be silently reused
+                rel = os.path.relpath(full, path)
+                parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+# In-process memo: (abs(sf_dir), artifact name) -> (full meta dict, path).
+_ARTIFACT_CACHE: dict[tuple[str, str], tuple[dict, str]] = {}
+
+
+def materialized_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    source_file: str,
+    name: str,
+    params: dict,
+    build,
+) -> DataFrame:
+    """Build-once materialization of a DETERMINISTIC derived DataFrame.
+
+    ``build()`` produces the DataFrame; the result is persisted as a
+    scratch parquet keyed on (a) the content fingerprint of
+    ``<sf_dir>/<source_file>``, (b) the algorithm parameters, and (c) a
+    CODE fingerprint of ``build``'s defining module including its
+    transitive intra-package imports (gate_ledger's working-tree walk) —
+    so editing the producing code rebuilds the artifact instead of
+    silently serving parquet built by the old code (which would let a
+    re-gate of changed code go green against stale outputs). meta.json is
+    swapped in atomically AFTER the data commit, so a torn build is
+    invisible to readers. Pattern shared by the IVF index, the dedup
+    pair/signature artifacts, and the exact-quantile results; at 100 TB
+    these are exactly the intermediates a pipeline persists as
+    first-class tables."""
+    import importlib
+    import json
+
+    # importlib on purpose: gate_ledger provides the fingerprint MECHANISM
+    # but its own content never changes any query's results, so it must
+    # stay out of the AST fingerprint walk (a visible import here would
+    # put gate_ledger.py — including its hand-edited PRIORITY_OVERRIDE —
+    # into the fingerprint cone of every artifact-serving query).
+    code_fp = importlib.import_module(
+        f"{__package__}.gate_ledger"
+    ).module_fingerprint(build.__module__)
+    src = os.path.join(sf_dir, source_file)
+    fp = source_fingerprint(src)
+    key = (os.path.abspath(sf_dir), name)
+    # the memo compares the FULL meta (params included) — comparing only
+    # the fingerprints would serve the first call's artifact to a second
+    # same-name call with different params
+    want = {"fingerprint": fp, "code": code_fp, **params}
+    hit = _ARTIFACT_CACHE.get(key)
+    if hit is None or hit[0] != want:
+        root = _scratch(sf_dir, f"art_{name}")
+        data_dir = os.path.join(root, "data")
+        meta_file = os.path.join(root, "meta.json")
+        fresh = False
+        if os.path.exists(meta_file) and os.path.exists(
+            os.path.join(data_dir, "_SUCCESS")
+        ):
+            with open(meta_file) as fh:
+                fresh = json.load(fh) == want
+        if not fresh:
+            # drop the stale meta BEFORE rebuilding: a crash mid-overwrite
+            # must never leave old meta paired with new data (a later run
+            # matching the old meta would serve mixed-code output)
+            if os.path.exists(meta_file):
+                os.remove(meta_file)
+            build().write.mode("overwrite").parquet(data_dir)
+            os.makedirs(root, exist_ok=True)
+            tmp = meta_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(want, fh)
+            os.replace(tmp, meta_file)  # atomic commit point
+        _ARTIFACT_CACHE[key] = (want, data_dir)
+    return spark.read.parquet(_ARTIFACT_CACHE[key][1])

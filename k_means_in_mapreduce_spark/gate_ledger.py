@@ -93,6 +93,9 @@ class _Tree:
         """Resolve ``from ..x import y`` inside ``module``. Inside a
         package's ``__init__.py`` level=1 refers to the package itself,
         so one fewer component is stripped."""
+        if level == 0:
+            # absolute from-import: node_module IS the full dotted path
+            return node_module or ""
         parts = module.split(".")
         f = self.module_relpath(module)
         is_pkg = bool(f) and f.endswith("__init__.py")
@@ -149,6 +152,15 @@ class _Tree:
             seen.add(m)
             stack.extend(self.direct_imports(m))
         files = {f for m in seen if (f := self.module_relpath(m))}
+        # parent packages' __init__.py run on EVERY import of their
+        # children — include them so init-time behavior changes flip
+        # dependent queries to changed-since-green
+        for m in list(seen):
+            parts = m.split(".")
+            for i in range(1, len(parts)):
+                pkg_init = "/".join(parts[:i]) + "/__init__.py"
+                if self.exists(pkg_init):
+                    files.add(pkg_init)
         return sorted(files)
 
     def file_md5(self, relpath: str) -> str:
@@ -190,9 +202,11 @@ def load_ledger() -> dict:
 
 
 def save_ledger(ledger: dict) -> None:
-    with open(LEDGER_PATH, "w", encoding="utf-8") as fh:
+    tmp = LEDGER_PATH + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(ledger, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    os.replace(tmp, LEDGER_PATH)  # atomic: a crash never truncates the ledger
 
 
 def _row_checked(row: dict) -> bool:
@@ -286,7 +300,12 @@ def derive_order(registry_queries: dict) -> list[str]:
         if _WORKING_TREE.module_fingerprint(fn.__module__) != row.get(
             "fingerprint"
         ):
-            return (1, 0, reg_pos[name])  # code changed since last check
+            # changed since last check; oldest green FIRST — when shared
+            # deps churn (flipping most queries to this tier) the bounded
+            # window must still rotate through the whole registry across
+            # rounds instead of re-gating the same registration-order
+            # prefix forever
+            return (1, row.get("last_checked_round", 0), reg_pos[name])
         return (2, row.get("last_checked_round", 0), reg_pos[name])
 
     return sorted(registry_queries, key=rank)

@@ -256,7 +256,7 @@ def _dedup_artifact(
     signature tables are first-class materialized artifacts in a real
     pipeline — grouping, audit metrics, and keeper selection all consume
     them — not ephemeral subqueries recomputed per consumer."""
-    from ..sources.filesources import materialized_artifact
+    from ..artifacts import materialized_artifact
 
     return materialized_artifact(
         spark, sf_dir, "documents.parquet", f"dedup_{name}", params, build

@@ -126,7 +126,7 @@ def ann_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Deterministic (vec_id tie-break), so the truth table is a
     build-once fingerprint-keyed artifact — it feeds this query AND the
     IVF k-NN join recall metric."""
-    from ..sources.filesources import materialized_artifact
+    from ..artifacts import materialized_artifact
 
     return materialized_artifact(
         spark,
@@ -169,7 +169,7 @@ _IVF_INDEX_CACHE: dict[str, tuple[str, list[list[float]], str]] = {}
 def _source_fingerprint(path: str) -> str:
     """See :func:`..sources.filesources.source_fingerprint` (shared with
     the bucketed-layout reuse check)."""
-    from ..sources.filesources import source_fingerprint
+    from ..artifacts import source_fingerprint
 
     return source_fingerprint(path)
 
@@ -207,7 +207,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
     import os
 
     from ..functions.vector import l2_norm
-    from ..sources.filesources import _scratch
+    from ..artifacts import _scratch
     from .kmeans_df import KMeansConfig, assign_clusters, fit
 
     import importlib

@@ -42,7 +42,7 @@ def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``lineitem_price_quantiles_bound``), and exact order statistics over
     a static source are exactly the kind of intermediate a pipeline
     persists rather than recomputes."""
-    from ..sources.filesources import materialized_artifact
+    from ..artifacts import materialized_artifact
 
     def build() -> DataFrame:
         li = load_table(spark, sf_dir, "lineitem")

@@ -51,10 +51,12 @@ def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import importlib
 
     gl = importlib.import_module(f"{__package__}.gate_ledger")
-    missing = set(gl.PRIORITY_OVERRIDE) - QUERIES.keys()
-    assert not missing, f"PRIORITY_OVERRIDE names not registered: {sorted(missing)}"
+    # unknown override names are DROPPED, not fatal: a typo in the
+    # hand-edited list must degrade the ordering, never crash the whole
+    # driver gate (tests/test_gate_ledger.py asserts the list is clean,
+    # so CI still catches the typo loudly)
     derived = gl.derive_order(QUERIES)
-    first = list(gl.PRIORITY_OVERRIDE)
+    first = [n for n in gl.PRIORITY_OVERRIDE if n in QUERIES]
     return {n: QUERIES[n] for n in first + [d for d in derived if d not in set(first)]}
 
 
@@ -375,7 +377,7 @@ def points_text_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact because Spark's double->string cast is shortest-roundtrip
     (Double.toString), so the parsed values equal the computed means
     bit-for-bit and the oracle can skip the stringification."""
-    from .sources.filesources import _scratch
+    from .artifacts import _scratch
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _fixed_centroids(spark, sf_dir)

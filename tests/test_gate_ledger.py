@@ -92,3 +92,11 @@ def test_ordered_queries_leads_with_override_then_unchecked():
     if unchecked:
         last_unchecked = max(order.index(n) for n in unchecked)
         assert last_unchecked < len(order) - 1 or len(unchecked) == len(order)
+
+
+def test_priority_override_names_are_all_registered():
+    """The hand-edited override list must reference real queries — the
+    runtime DROPS unknown names (a typo must not crash the driver gate),
+    so this test is the loud tripwire."""
+    missing = set(gl.PRIORITY_OVERRIDE) - set(registry.QUERIES)
+    assert not missing, sorted(missing)

@@ -12,9 +12,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from k_means_in_mapreduce_spark import gate_ledger as gl  # noqa: E402
-# Importing the registry registers every query (imports the operator modules).
-from k_means_in_mapreduce_spark import registry  # noqa: E402,F401
-import k_means_in_mapreduce_spark.operators  # noqa: E402,F401
+# (incorporate_correctness imports the registry itself, which registers
+# every query as an import side-effect — nothing else to do here)
 
 ledger = gl.load_ledger()
 added = gl.incorporate_correctness(ledger)
