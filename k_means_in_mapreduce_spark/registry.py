@@ -266,10 +266,22 @@ def kmeans_fit_bisecting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("kmeans_fit_gmm", _fit_invariants_lenient_oracle(4))
 def kmeans_fit_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GaussianMixture fit invariants (soft clustering; hard-assignment
-    view via ``prediction``)."""
+    view via ``prediction``).
+
+    Fit on the first 16 dimensions: a full-covariance GMM has O(d²/2)
+    free parameters per component (64 dims -> 2080), far beyond what a
+    few hundred points per component can estimate — statistically
+    ill-posed AND numerically fragile (MLlib's EM covariance update
+    crashes with breeze MatrixNotSymmetricException on the sf0.001
+    vectors). 16 dims (136 cov params) is the sound configuration at
+    every test scale; at production n, raise d accordingly. The
+    invariants checked (every point assigned once, ids in range) are
+    unchanged in meaning."""
     from .operators.kmeans_mllib import fit_gmm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
     model, vec = fit_gmm(emb, k=4, max_iter=10, seed=42)
     return _fit_invariants_lenient(
         model.transform(vec).select(F.col("prediction").alias("cluster_id")),
