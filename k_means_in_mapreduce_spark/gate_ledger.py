@@ -239,10 +239,14 @@ def incorporate_correctness(ledger: dict, repo_root: str = REPO_ROOT) -> list[st
     """Fold any not-yet-seen CORRECTNESS_r*.json into the ledger. Each
     green query is stamped with the module fingerprint FROM THE COMMIT
     that introduced the round's file (gate-time code), so running this
-    late — after new-round edits — cannot poison the ledger. Falls back
-    to the working tree only for a file git has never seen (same-process
-    gate runs). Returns the rounds incorporated."""
+    late — after new-round edits — cannot poison the ledger. A file git
+    has never seen is SKIPPED with a warning (and NOT added to
+    rounds_seen) — stamping it from the working tree would record
+    post-gate edits as "at-green", and marking the round seen would
+    prevent ever re-incorporating it with the true gate-tree
+    fingerprints once committed. Returns the rounds incorporated."""
     import importlib
+    import sys
 
     registry = importlib.import_module(f"{PACKAGE}.registry")
     seen = set(ledger.get("rounds_seen", []))
@@ -264,7 +268,15 @@ def incorporate_correctness(ledger: dict, repo_root: str = REPO_ROOT) -> list[st
             rows = json.load(fh)
         rnd = int(name[len("CORRECTNESS_r") : -len(".json")])
         ref = _introducing_commit(name)
-        tree = _Tree(ref) if ref else _WORKING_TREE
+        if ref is None:
+            print(
+                f"WARNING: {name} has no introducing commit (untracked?); "
+                "skipping — commit it and re-run to incorporate with "
+                "gate-tree fingerprints",
+                file=sys.stderr,
+            )
+            continue
+        tree = _Tree(ref)
         for qname, row in rows.items():
             if qname not in registry.QUERIES or not _row_checked(row):
                 continue
@@ -323,30 +335,11 @@ def derive_order(registry_queries: dict) -> list[str]:
 # (ordering logic is not query behavior), so this list can churn freely.
 # ---------------------------------------------------------------------------
 PRIORITY_OVERRIDE: list[str] = [
-    # r4 staleness incident: reader changed after these 7 went green (r3).
-    # The git-ref fingerprints now catch this class automatically; kept
-    # until CORRECTNESS_r05 confirms them green, then safe to clear.
-    "events_asof_last_purchase",
-    "events_range_error_click",
-    "events_trailing_hour_value",
-    "events_value_outliers",
-    "stream_dedup_clicks",
-    "stream_static_enriched_purchases",
-    "stream_range_error_click",
-    # round-5 implementation changes that must re-gate ahead of the
-    # (large) changed-since-green tier: artifact-served quantiles and
-    # recall truths, blocked-matmul IVF dedup, exact kNN truth artifact.
-    "lineitem_price_quantiles",
-    "lineitem_price_quantiles_bound",
-    "dedup_minhash_lsh_recall",
-    "dedup_minhash_mllib_recall",
-    "dedup_simhash_recall",
-    "ann_knn_join_exact",
-    "ann_ivf_knn_join_recall",
-    "dedup_embedding_cosine_ivf",
-    "dedup_embedding_cosine_ivf_recall",
-    "dedup_connected_components",
-    "dedup_ngram_jaccard",
-    "dedup_groups_star",
-    "text_token_stats",
+    # EMPTY on purpose (VERDICT r5 item 1): every entry listed here jumps
+    # the derived ordering, so a populated list starves the
+    # oldest-green-first rotation that is currently draining the 54-query
+    # changed-since-green backlog from the r5 refactor.  The r4-incident
+    # entries and the r5 re-gate entries formerly here were all confirmed
+    # green by CORRECTNESS_r05.json.  Add a name ONLY for a known
+    # wrong-answer risk that must gate before the backlog tier.
 ]

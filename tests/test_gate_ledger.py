@@ -30,21 +30,44 @@ def test_registry_fingerprint_excludes_extension_modules():
 
 
 def test_fingerprint_from_git_commit_detects_post_gate_changes():
-    # The whole point of git-ref fingerprints: the r3 gate commit's tree
-    # predates the r4 shared-reader change, so the asof module's
-    # fingerprint AT THAT COMMIT must differ from the working tree's.
-    ledger = gl.load_ledger()
-    row = ledger["queries"].get("events_asof_last_purchase")
-    if not row or not row.get("gate_commit"):
-        import pytest
+    # The whole point of git-ref fingerprints: a fingerprint computed at an
+    # older commit must differ from the working tree once code under the
+    # module has changed.  Construct the scenario from git history itself
+    # (parent of the last commit touching any transitive file) instead of
+    # depending on the live GATE_LEDGER.json staying stale — the previous
+    # form asserted the working tree differs from the ledger's at-green
+    # row, which flips to a spurious failure the moment
+    # tools/update_gate_ledger.py re-stamps the row (ADVICE r5).
+    import subprocess
 
-        pytest.skip("ledger has no git-stamped row for the asof query")
-    current = gl.module_fingerprint(row["module"])
-    assert current != row["fingerprint"], (
-        "working tree fingerprint should differ from the r3 gate tree"
+    import pytest
+
+    mod = "k_means_in_mapreduce_spark.operators.asof"
+    files = gl.transitive_files(mod)
+    last_touch = subprocess.run(
+        ["git", "-C", gl.REPO_ROOT, "log", "-1", "--format=%H", "--", *files],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    if not last_touch:
+        pytest.skip("module files not in git history")
+    ref = last_touch + "^"
+    probe = subprocess.run(
+        ["git", "-C", gl.REPO_ROOT, "rev-parse", "--verify", "--quiet", ref],
+        capture_output=True,
+        text=True,
     )
-    at_gate = gl.module_fingerprint(row["module"], ref=row["gate_commit"])
-    assert at_gate == row["fingerprint"]
+    if probe.returncode != 0:
+        pytest.skip("last touching commit is the root commit")
+    tree = gl._Tree(probe.stdout.strip())
+    if tree.module_relpath(mod) is None:
+        pytest.skip("module did not exist before its last touching commit")
+    at_gate = gl.module_fingerprint(mod, ref=probe.stdout.strip())
+    # deterministic at a fixed ref
+    assert gl.module_fingerprint(mod, ref=probe.stdout.strip()) == at_gate
+    # and different from the working tree, which includes the later change
+    assert at_gate != gl.module_fingerprint(mod)
 
 
 def test_derive_order_tiers(tmp_path, monkeypatch):
