@@ -1,16 +1,32 @@
 #!/usr/bin/env python3
 """BENCH harness — runs the engine's headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+compact JSON line LAST on stdout:
 
-    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "result_file": "..."}
+
+The driver's stdout capture keeps only the last ~2000 characters, so the
+printed line carries the headline numbers plus the slowest-query summary;
+the FULL per-query detail (warm + cold columns for every registry entry)
+is written to ``BENCH_RESULT.json`` at the repo root (fixed path, same
+basename every run — this is the file to read) and archived under
+``.benchmarks/``. Round 5's bench artifact recorded ``"parsed": null``
+because the full 5 KB line's head fell outside that tail window.
 
 Headline metric: seconds per Lloyd iteration at n=100k points (the
 reference's benchmark unit — BASELINE.md reports ~23 s/iter for Hadoop
 MapReduce and 0.07 s/iter for sequential Python at n=100k, d=30).
 `embeddings` is deterministically tiled to 100k rows (d=64) so the scale
-matches the published grid. Per-query wall times for every registry entry
-are reported under "queries".
+matches the published grid.
+
+Artifact honesty: fingerprint-keyed artifacts (`.tmp/art_*`) persist
+across runs, so a warm-only measurement of an artifact-backed query times
+a parquet read, not the computation. By default the bench DELETES the
+artifact cache first, so each query's FIRST run is a true cold build and
+the later runs are warm serves; both are reported (``queries`` = warm
+steady-state, ``queries_cold`` = first run). ``--keep-artifacts`` skips
+the clearing for quick local iteration.
 
 Each query is forced end-to-end with the `noop` sink (full evaluation,
 no driver-side collect cost).
@@ -44,6 +60,9 @@ def make_spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # no stage progress bars on stdout: they drown the final JSON line
+        # inside the driver's bounded tail capture
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
@@ -139,8 +158,28 @@ def bench_kmeans_iteration(spark) -> dict:
     return out
 
 
+def clear_artifact_cache(sf_dir: str) -> int:
+    """Delete fingerprint-keyed artifact dirs for this sf_dir so the first
+    run of every artifact-backed query measures the cold build. Matches
+    artifacts._scratch's `art_<name><tag>` layout."""
+    import shutil
+
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
+    removed = 0
+    if os.path.isdir(tmp):
+        for entry in os.listdir(tmp):
+            if entry.startswith("art_") and entry.endswith(tag):
+                shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+                removed += 1
+    return removed
+
+
 def main() -> None:
     import __spark_entry__ as E
+
+    keep_artifacts = "--keep-artifacts" in sys.argv[1:]
+    cleared = 0 if keep_artifacts else clear_artifact_cache(SF_DIR)
 
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,20 +199,26 @@ def main() -> None:
         "noop"
     ).save()
 
-    # min of 2 runs per query: steady-state timing (first run can absorb
-    # one-off costs — shuffle file creation, codegen compile, GC pauses).
+    # Warm column = min over the runs AFTER the first (steady state: the
+    # first run absorbs one-off costs — artifact builds, shuffle file
+    # creation, codegen compile). Cold column = that first run. Streaming
+    # queries get an extra repeat: their wall time includes state-store
+    # setup + micro-batch scheduling, which showed a 2-4x same-code spread
+    # at sf0.1 (the r5 "regressions" were min-of-2 catching two bad runs).
     per_query: dict[str, float] = {}
+    per_query_cold: dict[str, float] = {}
     for name, fn in sorted(E.queries().items()):
-        best = None
+        repeats = 4 if name.startswith("stream_") else 3
         try:
-            for _ in range(2):
+            walls = []
+            for _ in range(repeats):
                 t0 = time.monotonic()
                 force(fn(spark, SF_DIR))
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            per_query[name] = round(best, 3)
+                walls.append(time.monotonic() - t0)
+            per_query_cold[name] = round(walls[0], 3)
+            per_query[name] = round(min(walls[1:]), 3)
         except Exception as ex:  # a broken query shows up as -1, not a crash
-            per_query[name] = -1.0
+            per_query[name] = per_query_cold[name] = -1.0
             print(f"# BENCH ERROR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
     km = bench_kmeans_iteration(spark)
@@ -182,11 +227,16 @@ def main() -> None:
     per_query["_kmeans_100k_per_iter_mllib"] = round(km["mllib"]["sec_per_iter"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    result_file = os.path.join(repo, "BENCH_RESULT.json")
     result = {
         "metric": "kmeans_sec_per_iteration_n100k",
         "value": round(km["arrow"]["sec_per_iter"], 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_cold": per_query_cold,
+        "cold_artifacts": not keep_artifacts,
+        "artifact_dirs_cleared": cleared,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kmeans": {
             "n": km["n"],
@@ -201,17 +251,39 @@ def main() -> None:
         "total_query_sec": round(
             sum(v for v in per_query.values() if v > 0), 3
         ),
+        "total_query_sec_cold": round(
+            sum(v for v in per_query_cold.values() if v > 0), 3
+        ),
+        "n_queries": len(per_query),
+        "n_errors": sum(1 for v in per_query.values() if v < 0),
+        "result_file": result_file,
     }
-    print(json.dumps(result))
-    # Also persist the full dict: the driver's stdout capture truncates
-    # long lines, which silently dropped the per-query tail in BENCH_r02.
-    # .benchmarks/ is the on-disk record used for round-over-round diffs.
-    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+    # Full per-query detail goes to a FIXED path the driver/judge can read
+    # (plus a timestamped archive for round-over-round diffs).
+    with open(result_file, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+    outdir = os.path.join(repo, ".benchmarks")
     os.makedirs(outdir, exist_ok=True)
     stamp = time.strftime("%Y%m%d_%H%M%S")
     with open(os.path.join(outdir, f"bench_{stamp}_sf{sf}.json"), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
+
     spark.stop()
+    # Compact line LAST, after spark.stop(), so no Spark output can trail
+    # it: full "queries" is ~5 KB which overflows the driver's ~2000-char
+    # stdout tail — summarize to the 10 slowest warm rows and point at
+    # result_file for the rest.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in per_query.items() if v > 0),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    compact = {k: v for k, v in result.items() if k not in ("queries", "queries_cold")}
+    compact["queries"] = slowest
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,84 @@ def source_fingerprint(path: str) -> str:
 # In-process memo: (abs(sf_dir), artifact name) -> (full meta dict, path).
 _ARTIFACT_CACHE: dict[tuple[str, str], tuple[dict, str]] = {}
 
+# A builder that dies holding the lock (SIGKILL skips the finally) must not
+# deadlock every later run; artifact builds take seconds, so a lock this
+# old is certainly orphaned.
+_LOCK_STALE_SEC = 900.0
+_LOCK_POLL_SEC = 0.25
+
+
+def _meta_is(meta_file: str, data_dir: str, want: dict) -> bool:
+    import json
+
+    if not (
+        os.path.exists(meta_file)
+        and os.path.exists(os.path.join(data_dir, "_SUCCESS"))
+    ):
+        return False
+    try:
+        with open(meta_file) as fh:
+            return json.load(fh) == want
+    except (OSError, ValueError):
+        return False
+
+
+def _locked_rebuild(
+    root: str, data_dir: str, meta_file: str, want: dict, build
+) -> None:
+    """Rebuild the artifact under an O_EXCL lock file.
+
+    Two processes sharing the sf_dir (e.g. bench.py and pytest) can both
+    observe a stale meta and race overlapping ``mode("overwrite")`` writes
+    into data_dir — the atomic meta rename only protects against crashes,
+    not concurrency. The loser of the O_EXCL creation waits for the
+    winner, then re-checks freshness (usually the winner built exactly
+    what it wanted, so it serves the result without rebuilding)."""
+    import json
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, ".build.lock")
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # holder just released; retry acquisition
+            if age > _LOCK_STALE_SEC:
+                # orphaned lock (builder died mid-hold); steal it
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            time.sleep(_LOCK_POLL_SEC)
+            continue
+        try:
+            # the previous holder may have built this exact meta while we
+            # waited — serve it instead of rebuilding
+            if _meta_is(meta_file, data_dir, want):
+                return
+            # drop the stale meta BEFORE rebuilding: a crash mid-overwrite
+            # must never leave old meta paired with new data (a later run
+            # matching the old meta would serve mixed-code output)
+            if os.path.exists(meta_file):
+                os.remove(meta_file)
+            build().write.mode("overwrite").parquet(data_dir)
+            tmp = meta_file + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(want, fh)
+            os.replace(tmp, meta_file)  # atomic commit point
+            return
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
 
 def materialized_artifact(
     spark: SparkSession,
@@ -75,7 +153,6 @@ def materialized_artifact(
     these are exactly the intermediates a pipeline persists as
     first-class tables."""
     import importlib
-    import json
 
     # importlib on purpose: gate_ledger provides the fingerprint MECHANISM
     # but its own content never changes any query's results, so it must
@@ -97,23 +174,7 @@ def materialized_artifact(
         root = _scratch(sf_dir, f"art_{name}")
         data_dir = os.path.join(root, "data")
         meta_file = os.path.join(root, "meta.json")
-        fresh = False
-        if os.path.exists(meta_file) and os.path.exists(
-            os.path.join(data_dir, "_SUCCESS")
-        ):
-            with open(meta_file) as fh:
-                fresh = json.load(fh) == want
-        if not fresh:
-            # drop the stale meta BEFORE rebuilding: a crash mid-overwrite
-            # must never leave old meta paired with new data (a later run
-            # matching the old meta would serve mixed-code output)
-            if os.path.exists(meta_file):
-                os.remove(meta_file)
-            build().write.mode("overwrite").parquet(data_dir)
-            os.makedirs(root, exist_ok=True)
-            tmp = meta_file + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(want, fh)
-            os.replace(tmp, meta_file)  # atomic commit point
+        if not _meta_is(meta_file, data_dir, want):
+            _locked_rebuild(root, data_dir, meta_file, want, build)
         _ARTIFACT_CACHE[key] = (want, data_dir)
     return spark.read.parquet(_ARTIFACT_CACHE[key][1])

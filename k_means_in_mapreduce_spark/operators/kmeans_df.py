@@ -269,6 +269,33 @@ def _movement(old: list[list[float]], new: list[list[float]]) -> float:
     return total
 
 
+def _iteration_partitions(bytes_est: int, parallelism: int) -> int:
+    """Partition count for the cached iteration loop.
+
+    The loop pays per-task cost (Python worker round-trip, task launch)
+    EVERY iteration, so tiny data must not fan out to full parallelism:
+    measured at d=64 on local[32], 8-16 tasks beat 32 by ~30% at BOTH
+    n=2k and n=100k, and beat 1 task (no parallelism) by ~40%. Three
+    regimes:
+
+    - floor of min(8, parallelism) tasks — below that, job overhead and
+      single-threaded NumPy dominate;
+    - mid-range: ~4 MiB of vectors per task, capped at the cluster's
+      core count (more waves than cores buys nothing for CPU-bound work);
+    - upper bound: never fewer than bytes/128 MiB partitions, so a
+      100 TB cache is NOT coalesced down to core count (125 GB
+      partitions would not fit an executor) — at that scale this term
+      dominates and the result matches the scan's own partitioning,
+      making the adjustment a no-op.
+    """
+    import math
+
+    mib = 1024 * 1024
+    memory_bound = math.ceil(bytes_est / (128 * mib))
+    cpu_target = min(parallelism, max(8, math.ceil(bytes_est / (4 * mib))))
+    return max(1, memory_bound, cpu_target)
+
+
 def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
     """Iterate-until-converged driver loop (reference C2-C5).
 
@@ -277,19 +304,50 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
     jobs, ``KMeans.java:113,130`` — a documented off-by-one we do NOT
     reproduce).
     """
-    points = df.select(F.col(config.features_col).alias("features"))
+    base = df.select(F.col(config.features_col).alias("features"))
 
     import time
 
     t_start = time.monotonic()
-    points = points.cache()
-    points.count()  # materialize the cache before iterating
-    first = points.first()  # 1-row read from the cache, not a rescan
+    # AQE has nothing to optimize in the iteration loop (narrow map over a
+    # cache + a k·d-row collect — no exchanges to coalesce or re-plan) but
+    # charges ~40 ms of adaptive planning PER JOB; over max_iter sequential
+    # jobs that is a measurable fixed tax. Restored in the finally.
+    sess = df.sparkSession
+    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    base = base.cache()
+    n = base.count()  # materialize the cache before iterating
+    first = base.first()  # 1-row read from the cache, not a rescan
     if first is None:
         raise ValueError("empty dataset")
     dim = len(first[0])
 
-    centroids = sample_initial_centroids(points, config.k, config.seed, "features")
+    # Re-tile the cached points to the iteration-loop sweet spot (see
+    # _iteration_partitions). Shrinking is a narrow coalesce straight off
+    # the cache; growing (only reachable in the tiny-data regime — a
+    # parquet scan of <8 partitions) re-caches the repartitioned copy so
+    # the loop doesn't re-shuffle every iteration. The tiny-data second
+    # cache coexists with `base` (megabytes by construction): `base` must
+    # stay live because SAMPLING runs against it — F.rand(seed) values
+    # depend on partitioning, so sampling from the re-tiled view would
+    # break the documented determinism contract (same df + same seed =>
+    # same init, reproducible externally via sample_initial_centroids).
+    iter_cache = None
+    cur = base.rdd.getNumPartitions()
+    target = _iteration_partitions(
+        n * dim * 8, base.sparkSession.sparkContext.defaultParallelism
+    )
+    if target < cur:
+        points = base.coalesce(target)
+    elif target > cur:
+        points = base.repartition(target).cache()
+        points.count()
+        iter_cache = points
+    else:
+        points = base
+
+    centroids = sample_initial_centroids(base, config.k, config.seed, "features")
     history: list[float] = []
     reinits = 0
     converged = False
@@ -327,7 +385,7 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
                 # new seed per event keeps the run deterministic.
                 reinits += 1
                 centroids = sample_initial_centroids(
-                    points, config.k, config.seed + 1000 * reinits, "features"
+                    base, config.k, config.seed + 1000 * reinits, "features"
                 )
                 continue
             # centroid index integrity (reference C5, KMeans.java:252-257)
@@ -341,7 +399,10 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
                 converged = True
                 break
     finally:
-        points.unpersist()
+        base.unpersist()  # `points` may be a (non-cached) coalesce view
+        if iter_cache is not None:
+            iter_cache.unpersist()
+        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
     return KMeansModel(
         centroids=centroids,

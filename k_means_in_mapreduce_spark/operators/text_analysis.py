@@ -37,7 +37,13 @@ _SW_RATIO_SQL = f"CAST(len(list_filter(toks, t -> t IN {_SW_SQL})) AS DOUBLE) / 
 # punctuation runs, whitespace runs. Deliberately lookahead-free and
 # ASCII-classed so Java regex (Spark) and RE2 (DuckDB) match identically —
 # RE2 has no lookahead and the two engines' \p{L} tables can differ.
-BPE_ISH_REGEX = r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# whitespace spelled as the explicit class [ \t\n\x0B\f\r] (NOT \s): Java's
+# \s includes \x0B but RE2's does not — the exact cross-engine divergence
+# normalized()/punct_ratio() already eliminate via _NORM_SQL/_PUNCT_SQL.
+BPE_ISH_REGEX = (
+    r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?[a-zA-Z]+| ?[0-9]+"
+    r"| ?[^a-zA-Z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
+)
 # Only quote-escape for the SQL literal: DuckDB single-quoted strings do
 # NOT process backslash escapes, so doubling backslashes would corrupt the
 # regex ('\\s' = literal backslash or 's') and silently diverge the two

@@ -27,6 +27,7 @@ bound both.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,20 +49,32 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+# (sf_dir, session id) -> probed stream schema. Keyed on the session too:
+# a schema probed under one SparkSession must not leak into another (tests
+# recreate sessions; a stale plan object would raise).
+_PROBED_SCHEMA: dict[tuple[str, int], T.StructType] = {}
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The stream source needs an explicit schema; probe the actual file's
     # ts physical type with a batch read (generator vintages differ: int64
     # nanos vs TIMESTAMP(MICROS) — see sources.tables.normalize_event_ts).
+    # The probe costs a file listing + footer read (~0.1 s) and every
+    # streaming query pays it, so memoize per (sf_dir, session).
     from ..sources.tables import normalize_event_ts
 
-    probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    schema = T.StructType(
-        [
-            T.StructField(f.name, probed[f.name].dataType if f.name == "ts" else f.dataType)
-            for f in _EVENTS_RAW_SCHEMA.fields
-        ]
-    )
+    key = (os.path.abspath(sf_dir), id(spark))
+    schema = _PROBED_SCHEMA.get(key)
+    if schema is None:
+        probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        schema = T.StructType(
+            [
+                T.StructField(f.name, probed[f.name].dataType if f.name == "ts" else f.dataType)
+                for f in _EVENTS_RAW_SCHEMA.fields
+            ]
+        )
+        _PROBED_SCHEMA[key] = schema
     # the file source requires a directory: stream the sf dir, filtered
     # down to the events table file
     raw = (
