@@ -39,12 +39,19 @@ import sys
 
 USAGE = (
     "usage: python -m k_means_in_mapreduce_spark "
-    "<input> <k> <max_iter> <output> <dim> <epsilon> <num_reducer>"
+    "<input> <k> <max_iter> <output> <dim> <epsilon> <num_reducer> "
+    "[--fidelity]"
 )
 
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    # --fidelity: also write each iteration's centroids to <output><iter>
+    # (1-based), reproducing the reference's per-iteration output
+    # directories (KMeans.java:148, `output + iter`) for users diffing a
+    # run against reference outputs. Default stays final-centroids-only.
+    fidelity = "--fidelity" in argv
+    argv = [a for a in argv if a != "--fidelity"]
     if len(argv) != 7:
         print(USAGE, file=sys.stderr)
         return 2
@@ -90,16 +97,40 @@ def main(argv: list[str] | None = None) -> int:
     # session lifetime
     pts = parse_points(spark, inp).cache()
     try:
-        return _run_fit(pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out)
+        return _run_fit(
+            pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out,
+            fidelity,
+        )
     finally:
         pts.unpersist()
 
 
-def _run_fit(pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out) -> int:
+def _write_centroid_text(spark, centroids, path) -> None:
+    """Reference TextOutputFormat shape: '<clusterId>\\t<c1, c2, ...>'
+    (KMeans.java:90,150; Point.java:96-106)."""
+    from pyspark.sql import functions as F
+
+    from .sources.text_points import format_points
+
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cluster_id int, features array<double>",
+    )
+    lines = format_points(cents).select(
+        F.concat_ws("\t", F.col("cluster_id").cast("string"), "point_str").alias(
+            "value"
+        )
+    )
+    lines.coalesce(1).write.mode("overwrite").text(path)
+
+
+def _run_fit(
+    pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out,
+    fidelity=False,
+) -> int:
     from pyspark.sql import functions as F
 
     from .operators.kmeans_df import KMeansConfig, fit
-    from .sources.text_points import format_points
 
     # Fail fast like the reference (NumberFormatException kills the job,
     # KMeans.java:269): wrong arity OR any non-numeric token. The parser's
@@ -129,18 +160,13 @@ def _run_fit(pts, spark, k, dim, max_iter, epsilon, seed, method, inp, out) -> i
         ),
     )
 
-    # final centroids in the reference's TextOutputFormat shape:
-    # "<clusterId>\t<c1, c2, ...>" (KMeans.java:90,150; Point.java:96-106)
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(model.centroids)],
-        "cluster_id int, features array<double>",
-    )
-    lines = format_points(cents).select(
-        F.concat_ws("\t", F.col("cluster_id").cast("string"), "point_str").alias(
-            "value"
-        )
-    )
-    lines.coalesce(1).write.mode("overwrite").text(out)
+    # final centroids in the reference's TextOutputFormat shape
+    _write_centroid_text(spark, model.centroids, out)
+    if fidelity:
+        # one directory per completed iteration, 1-based like the
+        # reference's `output + iter` (KMeans.java:148)
+        for i, snap in enumerate(model.centroid_history, start=1):
+            _write_centroid_text(spark, snap, f"{out.rstrip('/')}{i}")
 
     report = model.report()
     report.update({"input": inp, "output": out, "seed": seed, "method": method})

@@ -918,6 +918,55 @@ def dedup_embedding_cosine_ivf_recall(spark: SparkSession, sf_dir: str) -> DataF
     return _pair_recall(truth, found, EMBED_IVF_RECALL_MIN_PCT)
 
 
+@query(
+    "dedup_embedding_cosine_ivf_precision",
+    f"""
+    WITH dot AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS d,
+               sqrt(sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE))) AS na,
+               sqrt(sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))) AS nb
+        FROM embeddings a
+        CROSS JOIN embeddings b
+        CROSS JOIN range(1, 65) t(i)
+        WHERE a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT count(*) AS n_true_pairs, true AS precision_ok
+    FROM dot WHERE d / (na * nb) >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine_ivf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision companion to the recall query (VERDICT r5 item 6): the
+    IVF path re-scores every candidate with the exact cosine, so each
+    emitted pair must appear in the exact all-pairs truth WITH the same
+    similarity — "emitted ⊆ truth" is oracle-expressible as a boolean
+    even though the emitted set itself is approximate. Together with
+    ``dedup_embedding_cosine_ivf_recall`` this brackets the production
+    path from both sides: no false pairs (here, exact) and few missed
+    pairs (there, >= 85%)."""
+    truth = dedup_embedding_cosine(spark, sf_dir).select(
+        "vec_a", "vec_b", F.col("cos_sim").alias("true_sim")
+    )
+    found = dedup_embedding_cosine_ivf(spark, sf_dir)
+    # left join found -> truth: a found pair missing from truth (or with a
+    # diverged score) breaks the subset claim. Tolerance 1e-9: both sides
+    # compute the same normalize-then-gemm in float64, but BLAS kernel
+    # blocking may reorder the d=64 dot sum between shapes.
+    j = found.join(truth, ["vec_a", "vec_b"], "left_outer")
+    checks = j.agg(
+        F.coalesce(
+            F.every(
+                F.col("true_sim").isNotNull()
+                & (F.abs(F.col("cos_sim") - F.col("true_sim")) < 1e-9)
+            ),
+            F.lit(True),  # empty found set is vacuously precise
+        ).alias("precision_ok")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    return n_true.crossJoin(checks)
+
+
 # ---------------------------------------------------------------------------
 # Oracle-expressible recall metrics for the approximate dedup paths
 # ---------------------------------------------------------------------------

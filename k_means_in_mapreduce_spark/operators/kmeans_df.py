@@ -68,6 +68,11 @@ class KMeansModel:
     n_iter: int
     converged: bool
     movement_history: list[float] = field(default_factory=list)
+    # k×d snapshot after every completed update step (re-init iterations
+    # produce none) — k·max_iter·d doubles, driver-trivial at any data
+    # scale; powers the CLI's --fidelity per-iteration output dirs
+    # (reference KMeans.java:148 writes output+iter each iteration)
+    centroid_history: list[list[list[float]]] = field(default_factory=list)
     reinit_count: int = 0  # empty-cluster full re-inits (reference C4)
     wall_sec: float = 0.0
 
@@ -349,6 +354,7 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
 
     centroids = sample_initial_centroids(base, config.k, config.seed, "features")
     history: list[float] = []
+    centroid_history: list[list[list[float]]] = []
     reinits = 0
     converged = False
     n_iter = 0
@@ -394,6 +400,7 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
             new_centroids = [list(by_id[i]["centroid"]) for i in range(config.k)]
             move = _movement(centroids, new_centroids)
             history.append(move)
+            centroid_history.append([list(c) for c in new_centroids])
             centroids = new_centroids
             if move < config.tol:
                 converged = True
@@ -409,6 +416,7 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
         n_iter=n_iter,
         converged=converged,
         movement_history=history,
+        centroid_history=centroid_history,
         reinit_count=reinits,
         wall_sec=time.monotonic() - t_start,
     )

@@ -99,6 +99,18 @@ def test_embedding_cosine_ivf_recall_and_precision(spark):
         assert abs(c - true[p]) < 1e-9, (p, c, true[p])
 
 
+def test_embedding_cosine_ivf_precision_query(spark):
+    """The registry's precision companion (one row, oracle-matching
+    column names) reports a clean subset at the fixture scale."""
+    out = registry.QUERIES["dedup_embedding_cosine_ivf_precision"](
+        spark, SF001
+    ).toPandas()
+    assert list(sorted(out.columns)) == ["n_true_pairs", "precision_ok"]
+    assert len(out) == 1
+    assert bool(out.precision_ok[0])
+    assert int(out.n_true_pairs[0]) == 59  # pinned: sf0.01 truth-set size
+
+
 def test_hot_shingle_cap_bounds_pairs_keeps_scores_exact(spark):
     """Synthetic hot shingle: every doc shares one boilerplate sentence
     (df = n_docs, way over a cap of 3), plus two true near-dup pairs that

@@ -239,3 +239,39 @@ def test_cli_rejects_non_numeric_tokens_and_negative_epsilon(spark, tmp_path):
 
     rc2 = main([str(inp), "2", "3", out, "2", "-0.5", "2"])
     assert rc2 == 2
+
+
+def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
+    """--fidelity reproduces the reference's per-iteration output
+    directories (`output + iter`, KMeans.java:148): <out>1..<out>N each
+    hold that iteration's centroids in the same text shape, and <out>N
+    equals the final <out>."""
+    import os
+
+    from k_means_in_mapreduce_spark.cli import main
+    from k_means_in_mapreduce_spark.sources.text_points import write_points
+
+    inp = str(tmp_path / "pts")
+    out = str(tmp_path / "cents")
+    emb = load_table(spark, SF0001, "embeddings").limit(100)
+    write_points(emb, inp, "embedding")
+
+    assert main([inp, "3", "4", out, "64", "0.0", "2", "--fidelity"]) == 0
+
+    def read_dir(path):
+        return sorted(
+            r["value"]
+            for r in spark.read.text(os.path.join(path, "part-*")).collect()
+        )
+
+    # tol=0 never converges -> exactly max_iter=4 completed iterations
+    iter_dirs = [f"{out}{i}" for i in range(1, 5)]
+    for d in iter_dirs:
+        assert os.path.isdir(d), d
+        assert len(read_dir(d)) == 3
+    assert not os.path.isdir(f"{out}5")
+    assert read_dir(iter_dirs[-1]) == read_dir(out)
+    # default run writes no per-iteration dirs
+    out2 = str(tmp_path / "cents_plain")
+    assert main([inp, "3", "4", out2, "64", "0.0", "2"]) == 0
+    assert not os.path.isdir(f"{out2}1")
