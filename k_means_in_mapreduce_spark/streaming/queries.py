@@ -102,6 +102,48 @@ def stream_range_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_left_error_click",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         wm AS (
+             SELECT least((SELECT max(ts) FROM e), (SELECT max(ts) FROM c))
+                        - INTERVAL 1 HOUR AS w
+         )
+    SELECT e.event_id AS error_event_id,
+           c.event_id AS click_event_id,
+           e.user_id,
+           CAST(date_diff('microsecond', e.ts, c.ts) AS DOUBLE) / 1000000.0
+               AS gap_sec
+    FROM e JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts > e.ts
+     AND c.ts <= e.ts + INTERVAL 600 SECOND
+    UNION ALL
+    SELECT e.event_id, CAST(NULL AS BIGINT), e.user_id, CAST(NULL AS DOUBLE)
+    FROM e, wm
+    WHERE e.ts + INTERVAL 600 SECOND < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = e.user_id
+            AND c.ts > e.ts
+            AND c.ts <= e.ts + INTERVAL 600 SECOND
+      )
+    """,
+)
+def stream_left_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join. The oracle is the batch
+    left join PLUS the outer join's watermark-expiry contract: an
+    unmatched error row is emitted iff the final global watermark
+    (min of both sides' max(ts), minus the 1h delay) strictly passes its
+    join window e_ts + 600s — unmatched errors in the trailing horizon
+    stay in state and are never emitted on a bounded replay. The cutoff
+    rule is pinned empirically (verified identical at sf0.001/0.01/0.1)
+    and hash-bound by this oracle."""
+    return W.stream_stream_error_click_left_join(spark, sf_dir)
+
+
+@query(
     "stream_static_enriched_purchases",
     """
     SELECT e.event_id, e.user_id, c.c_mktsegment, e.value

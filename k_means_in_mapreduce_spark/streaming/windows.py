@@ -216,8 +216,16 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
     state would grow unboundedly — this is THE correctness/scale contract
     of stream-stream joins. Output mode must be append (join emits a row
     exactly when both sides have arrived)."""
-    # ONE source stream, filtered per side — a second read_events_stream
-    # call would repeat the batch schema probe for no reason
+    errors, clicks = _error_click_sides(spark, sf_dir)
+    joined = _error_click_join(errors, clicks, "inner")
+    return _run_to_memory(
+        joined, mode="append", state_partitions=JOIN_STATE_PARTITIONS
+    )
+
+
+def _error_click_sides(spark: SparkSession, sf_dir: str):
+    """Watermarked error/click sides off ONE source stream (a second
+    read_events_stream call would repeat the schema probe)."""
     ev = read_events_stream(spark, sf_dir)
     errors = (
         ev.filter(F.col("event_type") == "error")
@@ -237,12 +245,16 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("ts").alias("c_ts"),
         )
     )
-    joined = errors.join(
+    return errors, clicks
+
+
+def _error_click_join(errors: DataFrame, clicks: DataFrame, how: str) -> DataFrame:
+    return errors.join(
         clicks,
         (F.col("e_user_id") == F.col("c_user_id"))
         & (F.col("c_ts") > F.col("e_ts"))
         & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 600 SECOND")),
-        "inner",
+        how,
     ).select(
         "error_event_id",
         "click_event_id",
@@ -251,6 +263,28 @@ def stream_stream_error_click_join(spark: SparkSession, sf_dir: str) -> DataFram
             "gap_sec"
         ),
     )
+
+
+def stream_stream_error_click_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every error row, with its
+    in-window clicks or a single null-click row — the "did anyone react?"
+    shape of incident pipelines, and the semantics the inner join can't
+    express.
+
+    The outer-specific contract: an unmatched error can only be EMITTED
+    once the engine can prove no matching click will ever arrive — i.e.
+    when the global watermark (min over both sides' ``max(ts) − delay``)
+    passes the error's join window ``e_ts + 600s`` (strictly). Errors
+    whose window the final watermark never passes stay in state forever
+    and are NOT emitted: on a bounded replay the result therefore equals
+    the batch left join MINUS unmatched errors within the trailing
+    (delay + 600s) horizon — this is inherent to outer stream joins, not
+    an artifact of the harness, and the oracle encodes exactly that
+    cutoff. State size and eviction are identical to the inner form."""
+    errors, clicks = _error_click_sides(spark, sf_dir)
+    joined = _error_click_join(errors, clicks, "left_outer")
     return _run_to_memory(
         joined, mode="append", state_partitions=JOIN_STATE_PARTITIONS
     )

@@ -241,6 +241,25 @@ def test_cli_rejects_non_numeric_tokens_and_negative_epsilon(spark, tmp_path):
     assert rc2 == 2
 
 
+def test_iteration_partitions_regimes():
+    """Pin the three sizing regimes: overhead floor (8 tasks) for tiny
+    data, ~4 MiB/task capped at core count mid-range, and >= bytes/128 MiB
+    at scale so huge caches are never coalesced below what fits executor
+    memory."""
+    mib = 1024 * 1024
+    # tiny data: floor of min(8, parallelism)
+    assert K._iteration_partitions(1 * mib, 32) == 8
+    assert K._iteration_partitions(1 * mib, 4) == 4
+    # mid-range: ceil(bytes / 4 MiB), capped at core count
+    assert K._iteration_partitions(51 * mib, 32) == 13
+    assert K._iteration_partitions(512 * mib, 32) == 32
+    # at-scale: memory bound dominates (100 TB -> bytes/128MiB partitions)
+    tb = 1024**4
+    assert K._iteration_partitions(100 * tb, 1000) == 100 * tb // (128 * mib)
+    # degenerate inputs never go below 1
+    assert K._iteration_partitions(0, 0) == 1
+
+
 def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
     """--fidelity reproduces the reference's per-iteration output
     directories (`output + iter`, KMeans.java:148): <out>1..<out>N each

@@ -142,6 +142,69 @@ def test_stateful_checkpoint_restart_preserves_state(spark, tmp_path):
         assert after_b[u]["last_event_ts"] == T(30 + u)
 
 
+def test_stream_left_outer_join_emits_expired_unmatched(spark):
+    """Left-outer stream-stream join contract on a bounded replay:
+    matched rows equal the batch inner join exactly; an unmatched error
+    emits (with null click columns) iff the final global watermark
+    strictly passes its join window e_ts + 600s; unmatched errors in the
+    trailing horizon are withheld (still in state)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from k_means_in_mapreduce_spark.sources.tables import load_table
+    from k_means_in_mapreduce_spark.streaming.windows import (
+        stream_stream_error_click_left_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_stream_error_click_left_join(spark, sf).toPandas()
+
+    ev = load_table(spark, sf, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("e_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") > F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 600 SECOND"))
+    )
+    batch = e.join(c, cond, "left_outer").toPandas()
+
+    # matched part == batch inner join
+    sm = set(
+        (int(r.error_event_id), int(r.click_event_id))
+        for r in out[out.click_event_id.notna()].itertuples()
+    )
+    bm = set(
+        (int(r.error_event_id), int(r.click_event_id))
+        for r in batch[batch.click_event_id.notna()].itertuples()
+    )
+    assert sm == bm and len(sm) > 0
+
+    # unmatched part == batch unmatched, cut at the watermark horizon
+    import datetime
+
+    max_e = e.agg(F.max("e_ts")).collect()[0][0]
+    max_c = c.agg(F.max("c_ts")).collect()[0][0]
+    wm = min(max_e, max_c) - datetime.timedelta(hours=1)
+    bu = batch[batch.click_event_id.isna()]
+    expected = set(
+        int(r.error_event_id)
+        for r in bu.itertuples()
+        if r.e_ts + datetime.timedelta(seconds=600) < wm
+    )
+    got = set(int(r.error_event_id) for r in out[out.click_event_id.isna()].itertuples())
+    assert got == expected and len(bu) > len(expected)  # some were withheld
+    assert out[out.click_event_id.isna()].gap_sec.isna().all()
+
+
 def test_mllib_minhash_recall(spark):
     """MLlib MinHashLSH path recovers the exact high-Jaccard pairs."""
     from k_means_in_mapreduce_spark.operators.dedup import (
