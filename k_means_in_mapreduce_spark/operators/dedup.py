@@ -722,6 +722,31 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs, served from the build-once truth
+    artifact (see :func:`exact_cosine_pairs`); the computation itself is
+    :func:`_exact_cosine_compute`."""
+    return exact_cosine_pairs(spark, sf_dir)
+
+
+def exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once exact cosine pair list: THREE consumers (the pair query
+    itself plus the IVF recall and precision companions) each needed the
+    full quadratic truth — same rationale as :func:`near_dup_pairs`,
+    keyed on the embeddings content fingerprint + threshold + the
+    producing module's code fingerprint."""
+    from ..artifacts import materialized_artifact
+
+    return materialized_artifact(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        "cosine_truth",
+        {"threshold": COSINE_THRESHOLD},
+        lambda: _exact_cosine_compute(spark, sf_dir),
+    )
+
+
+def _exact_cosine_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs over embeddings — storage-tiled block
     nested loop: the left side streams as Arrow batches through
     ``mapInPandas``; for each batch the task re-scans the right side

@@ -410,20 +410,33 @@ def part_catalog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.sum("o_totalprice").alias("total"),
-            F.avg("o_totalprice").alias("avg_price"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
-            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-            F.stddev_samp("o_totalprice").alias("sd_price"),
-        )
+    """Per-month order stats. The median comes from the range-distributed
+    CDF operator (statistics.exact_quantiles), NOT Spark's ``percentile``
+    aggregate: percentile's partial state is a counts-map of every
+    distinct value a group has seen, and o_totalprice is near-continuous
+    — at 100 TB each month's map is ~that month's row count and the
+    final merge task OOMs. The CDF form stays hash-aggregable end to end;
+    the month-level join it costs is a broadcast of one row per month."""
+    from .statistics import exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_custkey",
+        "o_totalprice",
     )
+    stats = o.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum("o_totalprice").alias("total"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.stddev_samp("o_totalprice").alias("sd_price"),
+    )
+    med = exact_quantiles(
+        o, "month", "o_totalprice", {"median_price": 0.5}
+    ).select("month", "median_price")
+    return stats.join(F.broadcast(med), "month")
 
 
 # ---------------------------------------------------------------------------

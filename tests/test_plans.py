@@ -91,25 +91,31 @@ def test_range_join_is_equi_join(spark):
 
 
 def test_embedding_cosine_no_join(spark):
-    """Blocked-matmul cosine: a single Arrow map stage over the scan —
-    no join operator, no shuffle."""
-    df = registry.QUERIES["dedup_embedding_cosine"](spark, SF001)
+    """Blocked-matmul cosine BUILDER: a single Arrow map stage over the
+    scan — no join operator, no shuffle. (The registry query serves the
+    build-once truth artifact, whose plan is a parquet scan; the builder
+    is what must stay shuffle-free.)"""
+    from k_means_in_mapreduce_spark.operators.dedup import _exact_cosine_compute
+
+    df = _exact_cosine_compute(spark, SF001)
     plan = explain_string(df)
     assert "Join" not in plan, plan
     assert count_exchanges(df) == 0, plan
 
 
 def test_embedding_cosine_no_driver_materialization(spark, monkeypatch):
-    """The block-NLJ cosine must never pull the table through the driver:
-    building AND executing the query with DataFrame.collect() forbidden
+    """The block-NLJ cosine BUILDER must never pull the table through the
+    driver: building AND executing with DataFrame.collect() forbidden
     still yields the full pair set (executor-side row-group scans only)."""
     from pyspark.sql import DataFrame
+
+    from k_means_in_mapreduce_spark.operators.dedup import _exact_cosine_compute
 
     def _no_collect(self):
         raise AssertionError("driver-side collect() in dedup_embedding_cosine")
 
     monkeypatch.setattr(DataFrame, "collect", _no_collect)
-    df = registry.QUERIES["dedup_embedding_cosine"](spark, SF001)
+    df = _exact_cosine_compute(spark, SF001)
     assert df.count() > 0
 
 
