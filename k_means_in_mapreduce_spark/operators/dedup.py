@@ -190,8 +190,24 @@ def jaccard_pairs(sh: DataFrame, df_cap: int = HOT_SHINGLE_DF_CAP) -> DataFrame:
     # this stage at sf0.1). No row is actually empty (_shingled filters
     # on token count), so the outer variant is value-identical.
     ex = hashed.select("doc_id", F.explode_outer("hs").alias("h"))
+    # Cap posting lists BEFORE collecting: row_number over the shingle
+    # hash keeps at most df_cap+1 docs per hash, so a boilerplate shingle
+    # shared by millions of documents sorts-and-spills instead of
+    # materializing a multi-GB array in one aggregation buffer (the
+    # previous form collected the full list and filtered after — correct,
+    # but per-group memory proportional to the hottest shingle's df).
+    # Semantics are identical: a truncated-hot hash has df_cap+1 elements
+    # and is dropped by the size filter exactly as the full list was; the
+    # window and the groupBy share the hash partitioning, so this adds no
+    # exchange (asserted in tests/test_plans.py).
+    from pyspark.sql import Window
+
+    capped = ex.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
+    ).filter(F.col("_rn") <= df_cap + 1)
     postings = (
-        ex.groupBy("h")
+        capped.groupBy("h")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .filter((F.size("docs") > 1) & (F.size("docs") <= df_cap))
     )

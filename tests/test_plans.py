@@ -276,6 +276,25 @@ def test_dedup_exact_single_shuffle_on_digest(spark):
     assert "doc_id" in schema and "text" in schema and "lang" not in schema
 
 
+def test_posting_list_cap_adds_no_exchange(spark):
+    """The hot-shingle cap (row_number window before collect_list) must
+    reuse the groupBy's hash partitioning on the shingle hash: exactly
+    ONE exchange for window + aggregate combined. Bounded agg buffers
+    must not cost a second shuffle of the exploded corpus."""
+    from pyspark.sql import Window, functions as F
+
+    ex = spark.createDataFrame(
+        [(i % 7, i) for i in range(50)], "h long, doc_id long"
+    )
+    capped = ex.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    ).filter(F.col("_rn") <= 4)
+    postings = capped.groupBy("h").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    assert count_exchanges(postings) == 1, explain_string(postings)
+
+
 def test_text_ops_shuffle_free(spark):
     """Per-document text analysis is a narrow map: zero exchanges."""
     for name in ("text_token_stats", "text_quality", "text_langid",
