@@ -50,13 +50,6 @@ def source_fingerprint(path: str) -> str:
 # In-process memo: (abs(sf_dir), artifact name) -> (full meta dict, path).
 _ARTIFACT_CACHE: dict[tuple[str, str], tuple[dict, str]] = {}
 
-# A builder that dies holding the lock (SIGKILL skips the finally) must not
-# deadlock every later run; artifact builds take seconds, so a lock this
-# old is certainly orphaned.
-_LOCK_STALE_SEC = 900.0
-_LOCK_POLL_SEC = 0.25
-
-
 def _meta_is(meta_file: str, data_dir: str, want: dict) -> bool:
     import json
 
@@ -75,58 +68,43 @@ def _meta_is(meta_file: str, data_dir: str, want: dict) -> bool:
 def _locked_rebuild(
     root: str, data_dir: str, meta_file: str, want: dict, build
 ) -> None:
-    """Rebuild the artifact under an O_EXCL lock file.
+    """Rebuild the artifact under an exclusive ``flock`` on a lock file.
 
     Two processes sharing the sf_dir (e.g. bench.py and pytest) can both
     observe a stale meta and race overlapping ``mode("overwrite")`` writes
     into data_dir — the atomic meta rename only protects against crashes,
-    not concurrency. The loser of the O_EXCL creation waits for the
-    winner, then re-checks freshness (usually the winner built exactly
-    what it wanted, so it serves the result without rebuilding)."""
+    not concurrency. ``flock`` over an O_EXCL-create-then-steal protocol
+    because the kernel releases it when the holder dies (no staleness
+    heuristic, whose steal path is inherently racy between two waiters:
+    the slower stealer can delete/rename the lock the faster one just
+    re-acquired). The lock FILE persists on disk; only the advisory lock
+    matters, so a leftover file from a crashed run never blocks. The
+    loser blocks until the winner finishes, then re-checks freshness
+    (usually the winner built exactly this meta, so the loser serves it
+    without rebuilding)."""
+    import fcntl
     import json
-    import time
 
     os.makedirs(root, exist_ok=True)
-    lock = os.path.join(root, ".build.lock")
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            try:
-                age = time.time() - os.stat(lock).st_mtime
-            except FileNotFoundError:
-                continue  # holder just released; retry acquisition
-            if age > _LOCK_STALE_SEC:
-                # orphaned lock (builder died mid-hold); steal it
-                try:
-                    os.remove(lock)
-                except FileNotFoundError:
-                    pass
-                continue
-            time.sleep(_LOCK_POLL_SEC)
-            continue
-        try:
-            # the previous holder may have built this exact meta while we
-            # waited — serve it instead of rebuilding
-            if _meta_is(meta_file, data_dir, want):
-                return
-            # drop the stale meta BEFORE rebuilding: a crash mid-overwrite
-            # must never leave old meta paired with new data (a later run
-            # matching the old meta would serve mixed-code output)
-            if os.path.exists(meta_file):
-                os.remove(meta_file)
-            build().write.mode("overwrite").parquet(data_dir)
-            tmp = meta_file + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(want, fh)
-            os.replace(tmp, meta_file)  # atomic commit point
+    fd = os.open(os.path.join(root, ".build.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)  # blocks until the holder releases/dies
+        # the previous holder may have built this exact meta while we
+        # waited — serve it instead of rebuilding
+        if _meta_is(meta_file, data_dir, want):
             return
-        finally:
-            os.close(fd)
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+        # drop the stale meta BEFORE rebuilding: a crash mid-overwrite
+        # must never leave old meta paired with new data (a later run
+        # matching the old meta would serve mixed-code output)
+        if os.path.exists(meta_file):
+            os.remove(meta_file)
+        build().write.mode("overwrite").parquet(data_dir)
+        tmp = meta_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(want, fh)
+        os.replace(tmp, meta_file)  # atomic commit point
+    finally:
+        os.close(fd)  # closing the fd releases the flock
 
 
 def materialized_artifact(

@@ -719,9 +719,11 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_embedding_cosine",
-    f"""
+# Shared truth-set SQL (single definition — three oracles bracket the SAME
+# production path, so a threshold/dim edit must not be able to diverge
+# them; EMBED_DIM pins the explode width to the fixture schema).
+EMBED_DIM = 64
+_COSINE_TRUTH_SQL = f"""
     WITH dot AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS d,
@@ -729,14 +731,16 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                sqrt(sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))) AS nb
         FROM embeddings a
         CROSS JOIN embeddings b
-        CROSS JOIN range(1, 65) t(i)
+        CROSS JOIN range(1, {EMBED_DIM + 1}) t(i)
         WHERE a.vec_id < b.vec_id
         GROUP BY a.vec_id, b.vec_id
     )
     SELECT vec_a, vec_b, d / (na * nb) AS cos_sim
     FROM dot WHERE d / (na * nb) >= {COSINE_THRESHOLD}
-    """,
-)
+"""
+
+
+@query("dedup_embedding_cosine", _COSINE_TRUTH_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs, served from the build-once truth
     artifact (see :func:`exact_cosine_pairs`); the computation itself is
@@ -930,19 +934,8 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine_ivf_recall",
     f"""
-    WITH dot AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS d,
-               sqrt(sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE))) AS na,
-               sqrt(sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))) AS nb
-        FROM embeddings a
-        CROSS JOIN embeddings b
-        CROSS JOIN range(1, 65) t(i)
-        WHERE a.vec_id < b.vec_id
-        GROUP BY a.vec_id, b.vec_id
-    )
-    SELECT count(*) AS n_true_pairs, true AS recall_ok
-    FROM dot WHERE d / (na * nb) >= {COSINE_THRESHOLD}
+    WITH tp AS ({_COSINE_TRUTH_SQL})
+    SELECT count(*) AS n_true_pairs, true AS recall_ok FROM tp
     """,
 )
 def dedup_embedding_cosine_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,19 +955,8 @@ def dedup_embedding_cosine_ivf_recall(spark: SparkSession, sf_dir: str) -> DataF
 @query(
     "dedup_embedding_cosine_ivf_precision",
     f"""
-    WITH dot AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE)) AS d,
-               sqrt(sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE))) AS na,
-               sqrt(sum(CAST(b.embedding[t.i] AS DOUBLE) * CAST(b.embedding[t.i] AS DOUBLE))) AS nb
-        FROM embeddings a
-        CROSS JOIN embeddings b
-        CROSS JOIN range(1, 65) t(i)
-        WHERE a.vec_id < b.vec_id
-        GROUP BY a.vec_id, b.vec_id
-    )
-    SELECT count(*) AS n_true_pairs, true AS precision_ok
-    FROM dot WHERE d / (na * nb) >= {COSINE_THRESHOLD}
+    WITH tp AS ({_COSINE_TRUTH_SQL})
+    SELECT count(*) AS n_true_pairs, true AS precision_ok FROM tp
     """,
 )
 def dedup_embedding_cosine_ivf_precision(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -317,42 +317,14 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
     # AQE has nothing to optimize in the iteration loop (narrow map over a
     # cache + a k·d-row collect — no exchanges to coalesce or re-plan) but
     # charges ~40 ms of adaptive planning PER JOB; over max_iter sequential
-    # jobs that is a measurable fixed tax. Restored in the finally.
+    # jobs that is a measurable fixed tax. The try/finally opens BEFORE
+    # the conf change and the cache: a failure anywhere (empty dataset,
+    # fewer-than-k rows in the init sample, a dying executor mid-count)
+    # must still restore AQE and release storage — embedded/notebook
+    # sessions outlive this call.
     sess = df.sparkSession
     prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    base = base.cache()
-    n = base.count()  # materialize the cache before iterating
-    first = base.first()  # 1-row read from the cache, not a rescan
-    if first is None:
-        raise ValueError("empty dataset")
-    dim = len(first[0])
-
-    # Re-tile the cached points to the iteration-loop sweet spot (see
-    # _iteration_partitions). Shrinking is a narrow coalesce straight off
-    # the cache; growing (only reachable in the tiny-data regime — a
-    # parquet scan of <8 partitions) re-caches the repartitioned copy so
-    # the loop doesn't re-shuffle every iteration. The tiny-data second
-    # cache coexists with `base` (megabytes by construction): `base` must
-    # stay live because SAMPLING runs against it — F.rand(seed) values
-    # depend on partitioning, so sampling from the re-tiled view would
-    # break the documented determinism contract (same df + same seed =>
-    # same init, reproducible externally via sample_initial_centroids).
     iter_cache = None
-    cur = base.rdd.getNumPartitions()
-    target = _iteration_partitions(
-        n * dim * 8, base.sparkSession.sparkContext.defaultParallelism
-    )
-    if target < cur:
-        points = base.coalesce(target)
-    elif target > cur:
-        points = base.repartition(target).cache()
-        points.count()
-        iter_cache = points
-    else:
-        points = base
-
-    centroids = sample_initial_centroids(base, config.k, config.seed, "features")
     history: list[float] = []
     centroid_history: list[list[list[float]]] = []
     reinits = 0
@@ -360,6 +332,42 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
     n_iter = 0
 
     try:
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        base = base.cache()
+        n = base.count()  # materialize the cache before iterating
+        first = base.first()  # 1-row read from the cache, not a rescan
+        if first is None:
+            raise ValueError("empty dataset")
+        dim = len(first[0])
+
+        # Re-tile the cached points to the iteration-loop sweet spot (see
+        # _iteration_partitions). Shrinking is a narrow coalesce straight
+        # off the cache; growing (only reachable in the tiny-data regime —
+        # a parquet scan of <8 partitions) re-caches the repartitioned
+        # copy so the loop doesn't re-shuffle every iteration. The
+        # tiny-data second cache coexists with `base` (megabytes by
+        # construction): `base` must stay live because SAMPLING runs
+        # against it — F.rand(seed) values depend on partitioning, so
+        # sampling from the re-tiled view would break the documented
+        # determinism contract (same df + same seed => same init,
+        # reproducible externally via sample_initial_centroids).
+        cur = base.rdd.getNumPartitions()
+        target = _iteration_partitions(
+            n * dim * 8, base.sparkSession.sparkContext.defaultParallelism
+        )
+        if target < cur:
+            points = base.coalesce(target)
+        elif target > cur:
+            points = base.repartition(target).cache()
+            points.count()
+            iter_cache = points
+        else:
+            points = base
+
+        centroids = sample_initial_centroids(
+            base, config.k, config.seed, "features"
+        )
+
         for it in range(1, config.max_iter + 1):
             n_iter = it
             if config.method == "arrow":

@@ -436,7 +436,10 @@ def orders_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_quantiles(
         o, "month", "o_totalprice", {"median_price": 0.5}
     ).select("month", "median_price")
-    return stats.join(F.broadcast(med), "month")
+    # left join: exact_quantiles drops NULL values, so a month whose
+    # prices are all NULL has no median row — it must still appear (with
+    # a NULL median), matching quantile_cont/percentile semantics
+    return stats.join(F.broadcast(med), "month", "left")
 
 
 # ---------------------------------------------------------------------------

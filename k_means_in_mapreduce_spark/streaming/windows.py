@@ -49,10 +49,11 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-# (sf_dir, session id) -> probed stream schema. Keyed on the session too:
-# a schema probed under one SparkSession must not leak into another (tests
-# recreate sessions; a stale plan object would raise).
-_PROBED_SCHEMA: dict[tuple[str, int], T.StructType] = {}
+# (sf_dir, spark application id) -> probed stream schema. Keyed on the
+# applicationId, NOT id(spark): sessions are recreated across tests and
+# CPython reuses addresses after GC, so an id() key could serve a schema
+# probed under a dead session; applicationId is unique per SparkContext.
+_PROBED_SCHEMA: dict[tuple[str, str], T.StructType] = {}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +65,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming query pays it, so memoize per (sf_dir, session).
     from ..sources.tables import normalize_event_ts
 
-    key = (os.path.abspath(sf_dir), id(spark))
+    key = (os.path.abspath(sf_dir), spark.sparkContext.applicationId)
     schema = _PROBED_SCHEMA.get(key)
     if schema is None:
         probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema

@@ -4,6 +4,7 @@ overwrite writes into the same data dir — ADVICE r5)."""
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import threading
@@ -56,7 +57,7 @@ def test_meta_is_requires_success_marker_and_exact_meta(tmp_path):
 
 
 def test_locked_rebuild_waits_for_concurrent_builder(tmp_path):
-    """The O_EXCL loser polls until the holder releases; if the holder
+    """The flock loser blocks until the holder releases; if the holder
     committed exactly the wanted meta, the loser serves it WITHOUT
     rebuilding (build() must not run)."""
     root = str(tmp_path)
@@ -65,13 +66,15 @@ def test_locked_rebuild_waits_for_concurrent_builder(tmp_path):
     want = {"fingerprint": "f", "code": "c"}
     os.makedirs(root, exist_ok=True)
     lock = os.path.join(root, ".build.lock")
-    with open(lock, "w"):
-        pass  # simulate another process holding the build lock
+    # flock conflicts apply between separate open file descriptions even
+    # within one process, so a thread faithfully models a second process
+    holder_fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(holder_fd, fcntl.LOCK_EX)
 
     def other_process():
         time.sleep(0.6)
         _commit_artifact(root, want)
-        os.remove(lock)
+        os.close(holder_fd)  # releases the flock
 
     t = threading.Thread(target=other_process)
     t.start()
@@ -84,29 +87,26 @@ def test_locked_rebuild_waits_for_concurrent_builder(tmp_path):
     t.join()
     assert time.monotonic() - t0 >= 0.5  # actually waited for the holder
     assert A._meta_is(meta, data, want)
-    assert not os.path.exists(lock)
 
 
-def test_locked_rebuild_steals_stale_lock(tmp_path, monkeypatch):
-    """A lock file whose holder died (old mtime, nobody releasing) must be
-    stolen, not dead-waited."""
+def test_locked_rebuild_ignores_leftover_lock_file(tmp_path):
+    """A lock FILE left by a crashed builder holds no flock (the kernel
+    released it with the process) — acquisition is immediate, no
+    staleness heuristic involved."""
     root = str(tmp_path)
     data = os.path.join(root, "data")
     meta = os.path.join(root, "meta.json")
     want = {"fingerprint": "f2", "code": "c2"}
     os.makedirs(root, exist_ok=True)
-    lock = os.path.join(root, ".build.lock")
-    with open(lock, "w"):
-        pass
-    old = time.time() - 3600
-    os.utime(lock, (old, old))
-    monkeypatch.setattr(A, "_LOCK_STALE_SEC", 5.0)
+    with open(os.path.join(root, ".build.lock"), "w"):
+        pass  # leftover file, nobody holds the flock
 
     built = []
+    t0 = time.monotonic()
     A._locked_rebuild(root, data, meta, want, lambda: _FakeDF(built))
+    assert time.monotonic() - t0 < 2.0  # no dead-wait
     assert built == [data]
     assert A._meta_is(meta, data, want)
-    assert not os.path.exists(lock)
 
 
 def test_locked_rebuild_replaces_mismatched_meta(tmp_path):
