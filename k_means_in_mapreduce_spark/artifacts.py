@@ -11,6 +11,7 @@ to "changed since green" and invalidated every on-disk artifact at once.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,30 +66,42 @@ def _meta_is(meta_file: str, data_dir: str, want: dict) -> bool:
         return False
 
 
-def _locked_rebuild(
-    root: str, data_dir: str, meta_file: str, want: dict, build
-) -> None:
-    """Rebuild the artifact under an exclusive ``flock`` on a lock file.
-
-    Two processes sharing the sf_dir (e.g. bench.py and pytest) can both
-    observe a stale meta and race overlapping ``mode("overwrite")`` writes
-    into data_dir — the atomic meta rename only protects against crashes,
-    not concurrency. ``flock`` over an O_EXCL-create-then-steal protocol
-    because the kernel releases it when the holder dies (no staleness
-    heuristic, whose steal path is inherently racy between two waiters:
-    the slower stealer can delete/rename the lock the faster one just
-    re-acquired). The lock FILE persists on disk; only the advisory lock
-    matters, so a leftover file from a crashed run never blocks. The
-    loser blocks until the winner finishes, then re-checks freshness
-    (usually the winner built exactly this meta, so the loser serves it
-    without rebuilding)."""
+@contextmanager
+def build_lock(root: str):
+    """Exclusive cross-process lock for rebuilding a scratch artifact
+    rooted at ``root`` — an ``flock`` because the kernel releases it when
+    the holder dies (no staleness heuristic, whose steal path is
+    inherently racy between two waiters: the slower stealer can delete
+    the lock the faster one just re-acquired). The lock FILE persists on
+    disk; only the advisory lock matters, so a leftover file from a
+    crashed run never blocks. Shared by ``materialized_artifact`` and the
+    IVF index builder (similarity.build_ivf_index) — any multi-file
+    scratch build that overwrite-writes a shared directory must hold it."""
     import fcntl
-    import json
 
     os.makedirs(root, exist_ok=True)
     fd = os.open(os.path.join(root, ".build.lock"), os.O_CREAT | os.O_RDWR)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)  # blocks until the holder releases/dies
+        yield
+    finally:
+        os.close(fd)  # closing the fd releases the flock
+
+
+def _locked_rebuild(
+    root: str, data_dir: str, meta_file: str, want: dict, build
+) -> None:
+    """Rebuild the artifact under :func:`build_lock`.
+
+    Two processes sharing the sf_dir (e.g. bench.py and pytest) can both
+    observe a stale meta and race overlapping ``mode("overwrite")`` writes
+    into data_dir — the atomic meta rename only protects against crashes,
+    not concurrency. The loser blocks until the winner finishes, then
+    re-checks freshness (usually the winner built exactly this meta, so
+    the loser serves it without rebuilding)."""
+    import json
+
+    with build_lock(root):
         # the previous holder may have built this exact meta while we
         # waited — serve it instead of rebuilding
         if _meta_is(meta_file, data_dir, want):
@@ -103,8 +116,6 @@ def _locked_rebuild(
         with open(tmp, "w") as fh:
             json.dump(want, fh)
         os.replace(tmp, meta_file)  # atomic commit point
-    finally:
-        os.close(fd)  # closing the fd releases the flock
 
 
 def materialized_artifact(

@@ -96,35 +96,40 @@ def documents_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_chunk_for_training",
-    f"""
-    WITH toked AS (
+# Single definitions of the tokenize -> window fan-out, in BOTH engines:
+# chunking and packing must describe the same windows, so a stride /
+# boundary / tokenizer change can never reach one and miss the other
+# (each would stay individually green while packing sequences that no
+# longer correspond to the chunk set).
+_CHUNKS_CTE = f"""
+    toked AS (
         SELECT doc_id,
                string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
                             ' ') AS toks
         FROM documents
     ),
-    starts AS (
-        SELECT doc_id, toks,
-               unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS st
-        FROM toked
+    chunks AS (
+        SELECT doc_id,
+               CAST(st / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(len(toks[st + 1 : least(st + {CHUNK_TOKENS}, len(toks))])
+                    AS INT) AS n_tokens,
+               md5(list_aggregate(
+                   toks[st + 1 : least(st + {CHUNK_TOKENS}, len(toks))],
+                   'string_agg', ' ')) AS chunk_md5
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS st
+            FROM toked
+        )
     )
-    SELECT doc_id,
-           CAST(st / {CHUNK_STRIDE} AS INT) AS chunk_idx,
-           CAST(len(toks[st + 1 : least(st + {CHUNK_TOKENS}, len(toks))])
-                AS INT) AS n_tokens,
-           md5(list_aggregate(
-               toks[st + 1 : least(st + {CHUNK_TOKENS}, len(toks))],
-               'string_agg', ' ')) AS chunk_md5
-    FROM starts
-    """,
-)
-def docs_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fan every document out into {CHUNK_TOKENS}-token windows advancing
-    by {CHUNK_STRIDE} (8-token overlap). chunk_md5 checksums the exact
-    chunk text so the oracle pins content, not just counts. Narrow plan:
-    tokenize -> sequence/explode -> slice, zero shuffles."""
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_md5) — the Spark twin of
+    ``_CHUNKS_CTE``. Narrow plan: tokenize -> sequence/explode -> slice,
+    zero shuffles; consumers that don't select chunk_md5 get the md5
+    pruned by Catalyst."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens("text").alias("toks"))
     starts = toked.select(
@@ -148,25 +153,23 @@ def docs_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_chunk_for_training",
+    f"""
+    WITH {_CHUNKS_CTE}
+    SELECT doc_id, chunk_idx, n_tokens, chunk_md5 FROM chunks
+    """,
+)
+def docs_chunk_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan every document out into {CHUNK_TOKENS}-token windows advancing
+    by {CHUNK_STRIDE} (8-token overlap). chunk_md5 checksums the exact
+    chunk text so the oracle pins content, not just counts."""
+    return doc_chunks(spark, sf_dir)
+
+
+@query(
     "docs_pack_sequences",
     f"""
-    WITH toked AS (
-        SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
-                            ' ') AS toks
-        FROM documents
-    ),
-    chunks AS (
-        SELECT doc_id,
-               CAST(st / {CHUNK_STRIDE} AS INT) AS chunk_idx,
-               CAST(len(toks[st + 1 : least(st + {CHUNK_TOKENS}, len(toks))])
-                    AS INT) AS n_tokens
-        FROM (
-            SELECT doc_id, toks,
-                   unnest(range(0, greatest(len(toks), 1), {CHUNK_STRIDE})) AS st
-            FROM toked
-        )
-    ),
+    WITH {_CHUNKS_CTE},
     grouped AS (
         SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                     % {PACK_GROUPS} AS INT) AS pack_group,
@@ -209,23 +212,8 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences never span groups, matching how packed shards are written
     per-task anyway). ONE shuffle on pack_group feeds both the window
     and the final per-sequence rollup."""
-    d = load_table(spark, sf_dir, "documents")
-    toked = d.select("doc_id", tokens("text").alias("toks"))
-    starts = toked.select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(F.size("toks") - 1, F.lit(0)),
-                F.lit(CHUNK_STRIDE),
-            )
-        ).alias("st"),
-    )
-    chunks = starts.select(
-        "doc_id",
-        (F.col("st") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
-        F.size(F.slice("toks", F.col("st") + 1, CHUNK_TOKENS)).alias("n_tokens"),
+    chunks = doc_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "n_tokens"
     )
     grouped = chunks.select(
         hash_bucket(F.col("doc_id"), PACK_GROUPS).cast("int").alias("pack_group"),

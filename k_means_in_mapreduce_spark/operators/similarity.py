@@ -227,52 +227,71 @@ def build_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[list[list[float]]
     root = _scratch(sf_dir, "ivf_index")
     cells_dir = os.path.join(root, "cells")
     cent_file = os.path.join(root, "centroids.json")
-    centroids = None
-    if os.path.exists(cent_file) and os.path.exists(
-        os.path.join(cells_dir, "_SUCCESS")
-    ):
-        with open(cent_file) as fh:
-            meta = json.load(fh)
-        if (
-            isinstance(meta, dict)
-            and meta.get("fingerprint") == fp
-            and meta.get("format") == 2
+
+    def _fresh_centroids():
+        if os.path.exists(cent_file) and os.path.exists(
+            os.path.join(cells_dir, "_SUCCESS")
         ):
-            centroids = meta["centroids"]
+            with open(cent_file) as fh:
+                meta = json.load(fh)
+            if (
+                isinstance(meta, dict)
+                and meta.get("fingerprint") == fp
+                and meta.get("format") == 2
+            ):
+                return meta["centroids"]
+        return None
+
+    centroids = _fresh_centroids()
     if centroids is None:
-        e = load_table(spark, sf_dir, "embeddings")
-        model = fit(
-            e,
-            KMeansConfig(k=IVF_CELLS, max_iter=5, tol=0.0, seed=7, method="arrow"),
-        )
-        centroids = [list(map(float, c)) for c in model.centroids]
-        ed = assign_clusters(e, centroids).select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("e"),
-            F.col("cluster_id").alias("cell_id"),
-        )
-        # norm as its own projection first, so the per-element division
-        # references a computed column instead of inlining the norm
-        # aggregate into every element's expression
-        (
-            ed.withColumn("norm", l2_norm("e"))
-            .select(
-                "vec_id",
-                F.transform("e", lambda x: x / F.col("norm")).alias("unit"),
-                "norm",
-                "cell_id",
-            )
-            .write.mode("overwrite")
-            .partitionBy("cell_id")
-            .parquet(cells_dir)
-        )
-        os.makedirs(root, exist_ok=True)
-        tmp = cent_file + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"fingerprint": fp, "format": 2, "centroids": centroids}, fh
-            )
-        os.replace(tmp, cent_file)  # atomic: readers never see a torn file
+        # Same concurrency hazard as materialized_artifact: two processes
+        # sharing the sf_dir must not overwrite-write cells_dir at once
+        # (interleaved part-files + a matching centroids.json would be
+        # served forever). Winner builds under the flock; the loser
+        # re-checks and serves the winner's index.
+        from ..artifacts import build_lock
+
+        with build_lock(root):
+            centroids = _fresh_centroids()
+            if centroids is None:
+                e = load_table(spark, sf_dir, "embeddings")
+                model = fit(
+                    e,
+                    KMeansConfig(
+                        k=IVF_CELLS, max_iter=5, tol=0.0, seed=7, method="arrow"
+                    ),
+                )
+                centroids = [list(map(float, c)) for c in model.centroids]
+                ed = assign_clusters(e, centroids).select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("e"),
+                    F.col("cluster_id").alias("cell_id"),
+                )
+                # norm as its own projection first, so the per-element
+                # division references a computed column instead of
+                # inlining the norm aggregate into every element's
+                # expression
+                (
+                    ed.withColumn("norm", l2_norm("e"))
+                    .select(
+                        "vec_id",
+                        F.transform("e", lambda x: x / F.col("norm")).alias(
+                            "unit"
+                        ),
+                        "norm",
+                        "cell_id",
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("cell_id")
+                    .parquet(cells_dir)
+                )
+                tmp = cent_file + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(
+                        {"fingerprint": fp, "format": 2, "centroids": centroids},
+                        fh,
+                    )
+                os.replace(tmp, cent_file)  # atomic: no torn reads
     _IVF_INDEX_CACHE[key] = (fp, centroids, cells_dir)
     return centroids, cells_dir
 

@@ -25,11 +25,12 @@ from ..sources import load_table
     "lineitem_price_quantiles",
     """
     SELECT l_returnflag,
-           count(*) AS n_rows,
+           count(l_extendedprice) AS n_rows,
            quantile_cont(l_extendedprice, 0.25) AS p25,
            quantile_cont(l_extendedprice, 0.50) AS p50,
            quantile_cont(l_extendedprice, 0.75) AS p75
     FROM lineitem GROUP BY l_returnflag
+    HAVING count(l_extendedprice) > 0
     """,
 )
 def lineitem_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,6 +153,12 @@ def exact_quantiles(
     # correct CDF; accuracy only affects balance, and the running-sum
     # stage being balanced needs equi-DISTINCT-depth buckets, which is
     # exactly what unweighted percentiles over the distinct set give).
+    # accuracy scales with the bucket count: a fixed accuracy=100 bounds
+    # rank error at 1/100 of the distinct set, so requesting more than
+    # ~100 split points would make adjacent points collide and silently
+    # cap the effective parallelism of the running-sum stage at ~100
+    # buckets — exactly wrong on the large clusters where n_buckets
+    # (derived from defaultParallelism) is highest.
     splits = counts.groupBy(key_col).agg(
         F.approx_percentile(
             val_col,
@@ -161,7 +168,7 @@ def exact_quantiles(
                     for i in range(1, n_buckets)
                 ]
             ),
-            F.lit(100),
+            F.lit(max(100, 4 * n_buckets)),
         ).alias("_splits")
     )
     # bucket id = number of split points strictly below the value — a
@@ -292,12 +299,13 @@ GK_REL_ERROR_BOUND = 0.02
     "lineitem_price_quantiles_bound",
     """
     SELECT l_returnflag,
-           count(*) AS n_rows,
+           count(l_extendedprice) AS n_rows,
            quantile_cont(l_extendedprice, 0.25) AS p25,
            quantile_cont(l_extendedprice, 0.50) AS p50,
            quantile_cont(l_extendedprice, 0.75) AS p75,
            true AS approx_within_bound
     FROM lineitem GROUP BY l_returnflag
+    HAVING count(l_extendedprice) > 0
     """,
 )
 def lineitem_price_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,6 +327,48 @@ def lineitem_price_quantiles_bound(spark: SparkSession, sf_dir: str) -> DataFram
     return j.select(
         "l_returnflag", "n_rows", "p25", "p50", "p75",
         within.alias("approx_within_bound"),
+    )
+
+
+def decimal_moments(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int,
+    extra_aggs: tuple = (),
+) -> DataFrame:
+    """Per-group (n, _mean, _var, _sd) from EXACT decimal sums — the
+    cross-engine-deterministic moments recipe shared by
+    ``orders_price_moments`` and ``events_value_outliers`` (one
+    definition so a precision/guard fix can never reach one and miss the
+    other). Σv and Σv² accumulate as DECIMAL (exact, order-independent
+    hash-agg partials), convert to double ONCE, then identical IEEE
+    algebra on both engines: n>1 guard (NULL sd/var for single-row
+    groups, matching stddev_samp, no ANSI divide-by-zero) and a
+    greatest(...,0) clamp so cancellation on a constant group can't go
+    sqrt(negative). ``scale`` must keep the scaled-integer Σv² inside
+    double's 53-bit mantissa for the one conversion to be engine-exact —
+    see each caller's sizing note. ``extra_aggs`` ride the same single
+    aggregation pass."""
+    dec = F.col(value_col).cast(f"decimal(18,{scale})")
+    s = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("_sv"),
+        F.sum(dec * dec).cast("double").alias("_svv"),
+        *extra_aggs,
+    )
+    n = F.col("n")
+    var = F.when(
+        n > 1,
+        F.greatest(
+            (F.col("_svv") - F.col("_sv") * F.col("_sv") / n) / (n - 1),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        s.withColumn("_mean", F.col("_sv") / n)
+        .withColumn("_var", var)
+        .withColumn("_sd", F.sqrt(var))
     )
 
 
@@ -369,28 +419,21 @@ def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtraction is clamped at 0 so a constant group can't produce a
     tiny negative variance (Spark sqrt(neg) -> NaN, DuckDB errors)."""
     o = load_table(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(18,2)")
-    s = o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec).cast("double").alias("sum_price"),
-        F.sum(dec * dec).cast("double").alias("sum_sq"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
-    )
-    n = F.col("n")
-    var = F.when(
-        n > 1,
-        F.greatest(
-            (F.col("sum_sq") - F.col("sum_price") * F.col("sum_price") / n)
-            / (n - 1),
-            F.lit(0.0),
+    m = decimal_moments(
+        o,
+        "o_orderstatus",
+        "o_totalprice",
+        scale=2,
+        extra_aggs=(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
         ),
     )
-    return s.select(
+    return m.select(
         "o_orderstatus",
-        (F.col("sum_price") / n).alias("mean_price"),
-        F.sqrt(var).alias("sd_price"),
-        var.alias("var_price"),
+        F.col("_mean").alias("mean_price"),
+        F.col("_sd").alias("sd_price"),
+        F.col("_var").alias("var_price"),
         "min_price",
         "max_price",
     )
@@ -524,30 +567,15 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10^6 the same sum needs 63 bits and engines may differ in the
     last ulp)."""
     ev = load_table(spark, sf_dir, "events")
-    dec = F.col("value").cast("decimal(18,3)")
-    s = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec).cast("double").alias("sv"),
-        F.sum(dec * dec).cast("double").alias("svv"),
-    )
-    n = F.col("n")
-    # same n>1 + clamp guards as orders_price_moments (ANSI-safe, no
-    # NaN from cancellation); a NULL sd makes every outlier predicate
+    # decimal_moments carries the shared n>1 + clamp guards (ANSI-safe,
+    # no NaN from cancellation); a NULL sd makes every outlier predicate
     # NULL, and the when/otherwise below mirrors the oracle's CASE so
     # both count 0, not NULL
-    m = s.select(
+    m = decimal_moments(ev, "event_type", "value", scale=3).select(
         "event_type",
         "n",
-        (F.col("sv") / n).alias("mean_value"),
-        F.sqrt(
-            F.when(
-                n > 1,
-                F.greatest(
-                    (F.col("svv") - F.col("sv") * F.col("sv") / n) / (n - 1),
-                    F.lit(0.0),
-                ),
-            )
-        ).alias("sd_value"),
+        F.col("_mean").alias("mean_value"),
+        F.col("_sd").alias("sd_value"),
     )
     joined = ev.join(F.broadcast(m), "event_type")
     outlier = (
@@ -593,7 +621,18 @@ def events_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     epoch seconds via a tz-free cast (``unix_micros``/1e6 in Spark,
     ``epoch()`` in DuckDB — both interpret the stored naive timestamp
-    identically; verified by the gate under non-UTC oracle hosts)."""
+    identically; verified by the gate under non-UTC oracle hosts).
+
+    Cross-engine float determinism, considered: covar_samp/var_samp use
+    Welford-style merges whose result depends on partition boundaries in
+    the last ulps, unlike orders_price_moments' exact DECIMAL sums. The
+    decimal recipe does not transfer here — ``value`` is a DOUBLE, and
+    double->decimal products hit Spark-vs-DuckDB scale/rounding rules —
+    but Welford is numerically STABLE (relative error ~1e-12 even with
+    epoch-scale t), orders of magnitude inside the float tolerance the
+    gate compare demonstrably applies to every double-summing query in
+    the registry (hash-green across five rounds of partition-layout
+    changes)."""
     ev = load_table(spark, sf_dir, "events")
     t = F.unix_micros("ts").cast("double") / F.lit(1_000_000.0)
     g = (
