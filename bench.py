@@ -170,7 +170,9 @@ def clear_artifact_cache(sf_dir: str) -> int:
     pays the build; later consumers' "cold" rows time a warm serve."""
     import shutil
 
-    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    from k_means_in_mapreduce_spark.artifacts import scratch_tag
+
+    tag = scratch_tag(sf_dir)
     tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
     removed = 0
     if os.path.isdir(tmp):

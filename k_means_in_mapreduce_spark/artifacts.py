@@ -19,9 +19,17 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PACKAGE_ROOT = __package__
 
 
+def scratch_tag(sf_dir: str) -> str:
+    """sf_dir sanitized for use in scratch paths AND catalog table names
+    (one definition — filesources' bucketed tables embed it in a Spark
+    table identifier, which additionally forbids '-')."""
+    return (
+        sf_dir.rstrip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    )
+
+
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
-    return os.path.join(_REPO_ROOT, ".tmp", f"{name}{tag}")
+    return os.path.join(_REPO_ROOT, ".tmp", f"{name}{scratch_tag(sf_dir)}")
 
 
 def source_fingerprint(path: str) -> str:

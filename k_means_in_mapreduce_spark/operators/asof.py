@@ -45,39 +45,49 @@ def asof_join(
     with no prior right row get nulls (left-outer as-of semantics).
 
     Tie-break: multiple right rows sharing (key, ts) are ordered by their
-    payload columns, so the carried row is DETERMINISTIC (the greatest
+    payload tuple, so the carried row is DETERMINISTIC (the greatest
     payload tuple wins) instead of whichever row the shuffle happened to
     place last — without this, duplicate right-side timestamps make the
     result flip between runs/partitionings. (ASOF SQL engines leave the
     tie unspecified; a deterministic pick is strictly safer.)
+
+    The payload travels as ONE struct, not per-column ``last`` calls: a
+    per-column carry skips a NULL in the latest right row's payload and
+    back-fills it from an OLDER row — a chimera row matching no actual
+    right row. The struct itself is never NULL for a right row, so
+    ``last(ignorenulls)`` carries the latest row's payload atomically,
+    NULL fields included. Right rows with NULL right_ts are dropped up
+    front (``right_ts <= left_ts`` is NULL -> no match, the native ASOF
+    semantics); default NULLS FIRST ordering would otherwise carry them
+    into every left row that precedes all real right rows.
     """
-    r = right.select(
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_m"),
-        *[F.col(src).alias(dst) for src, dst in payload.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in payload.items()]
+        ).alias("_p"),
     )
     l = left.withColumn("_t", F.col(left_ts)).withColumn("_m", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     # right rows (_m=0) sort before left rows at equal _t => "at-or-before";
-    # payload columns break ties among right rows at the same _t (left
-    # rows carry nulls there, but _m already separates them)
+    # the payload struct breaks ties among right rows at the same _t
+    # (struct ordering = lexicographic by field, i.e. the old per-column
+    # tie-break; left rows carry NULL there, but _m already separates them)
     w = (
         Window.partitionBy(key)
-        .orderBy("_t", "_m", *[F.col(dst) for dst in payload.values()])
+        .orderBy("_t", "_m", "_p")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         "*",
-        *[
-            F.last(F.when(F.col("_m") == 0, F.col(dst)), ignorenulls=True)
-            .over(w)
-            .alias(f"_c_{dst}")
-            for dst in payload.values()
-        ],
+        F.last(F.when(F.col("_m") == 0, F.col("_p")), ignorenulls=True)
+        .over(w)
+        .alias("_c"),
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"_c_{dst}").alias(dst) for dst in payload.values()
+        F.col(f"_c.{dst}").alias(dst) for dst in payload.values()
     ]
     return carried.filter(F.col("_m") == 1).select(*out_cols)
 

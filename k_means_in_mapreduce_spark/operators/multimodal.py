@@ -398,6 +398,13 @@ def _build_codecs() -> dict:
             tokens.append(int(blob[start:pos]))
         pos += 1  # single whitespace after maxval
         width, height, maxval = tokens
+        if maxval > 255:
+            # 2-byte-per-sample PPM/PGM: reject loudly like the other
+            # unsupported containers rather than misparsing half the
+            # pixel data as 1-byte samples
+            raise NotImplementedError(
+                f"PPM/PGM maxval {maxval} > 255 (2-byte samples) unsupported"
+            )
         n_ch = 3 if blob[:2] == b"P6" else 1
         pixels = memoryview(blob)[pos : pos + width * height * n_ch]
         mean = (sum(pixels) / len(pixels)) if len(pixels) else 0.0
@@ -554,15 +561,12 @@ def decode_media(blob: bytes, media_type: str | None = None) -> dict:
     return _CODECS["decode"](blob, media_type)
 
 
-# Deterministic real-blob parameter schedule — every field is arithmetic
+# Deterministic real-blob parameter schedule: every field is arithmetic
 # in doc_id, so the DuckDB oracle can state the EXPECTED decoder output
-# and a header misparse fails the gate. ONE Python definition (nested in
-# _build_codecs so executors get it by value); only the SQL mirror in the
-# oracle strings below is a second copy to keep in sync.
-def _real_media_params(doc_id: int) -> dict:
-    return _CODECS["media_params"](doc_id)
-
-
+# and a header misparse fails the gate. ONE Python definition
+# (_CODECS["media_params"], nested in _build_codecs so executors get it
+# by value); only the SQL mirror in the oracle strings below is a second
+# copy to keep in sync.
 def media_real_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-container twin of ``media_blob_table``: one genuine PPM / WAV /
     Y4M payload per document, parameters from ``_real_media_params``.

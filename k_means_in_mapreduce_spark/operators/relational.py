@@ -364,7 +364,7 @@ def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(p_brand) AS brand_upper,
            length(p_name) AS name_len,
            substr(p_type, 1, 5) AS type_prefix,
-           concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+           concat_ws(':', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
            round(p_retailprice * 1.1, 2) AS taxed_price,
            CASE WHEN p_size >= 25 THEN 'large'
                 WHEN p_size >= 10 THEN 'medium'
@@ -382,6 +382,9 @@ def part_catalog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.length("p_name").alias("name_len"),
         F.substring("p_type", 1, 5).alias("type_prefix"),
+        # concat_ws in BOTH engines (oracle included): plain concat
+        # diverges on NULL inputs — DuckDB concat keeps the separator
+        # around a skipped NULL, concat_ws drops separator and element
         F.concat_ws(":", "p_brand", F.col("p_size").cast("string")).alias(
             "brand_size"
         ),

@@ -198,9 +198,9 @@ def bucketed_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     while repeat in-session calls skip the two full rewrites. The revenue
     sum runs in DECIMAL (exact, order-independent — prices are 2-dp) so
     the result does not depend on merge-join row order."""
-    import os
+    from ..artifacts import scratch_tag
 
-    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    tag = scratch_tag(sf_dir)
     names = {}
     for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
         name = f"bkt_{tbl}{tag}"

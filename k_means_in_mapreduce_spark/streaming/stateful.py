@@ -40,11 +40,17 @@ def running_totals_agg(ev: DataFrame) -> DataFrame:
         import pandas as pd
 
         n, total, last_ts = (
-            state.get if state.exists else (0, 0.0, None)
+            state.get if state.exists else (0, None, None)
         )
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # min_count=1: a batch of all-NULL values contributes nothing
+            # (pandas' default sum() would coerce it to 0.0) — total stays
+            # NULL until the first non-null value, matching the batch
+            # oracle's sum(value) semantics for all-NULL users
+            s = pdf["value"].sum(min_count=1)
+            if not pd.isna(s):
+                total = float(s) if total is None else total + float(s)
             batch_max = pdf["ts"].max()
             last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
         state.update((n, total, last_ts))
@@ -113,12 +119,6 @@ _SESSION_OUT_SCHEMA = (
 
 
 def idle_timeout_sessions(ev: DataFrame, gap_sec: int = 1800) -> DataFrame:
-    # captured by the closure: applyInPandasWithState hands the UDF naive
-    # timestamps LOCALIZED to the session timezone, while
-    # setTimeoutTimestamp expects UTC epoch millis — localize before
-    # converting or the timeout is offset by the tz delta on any non-UTC
-    # session (sessions would close hours early/late).
-    session_tz = ev.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     """Per-user sessions with custom payload, CLOSED BY STATE TIMEOUT —
     the eviction contract ``running_totals_agg`` deliberately skips
     (NoTimeout is fine for O(users) keys; session-like keys are unbounded
@@ -135,6 +135,12 @@ def idle_timeout_sessions(ev: DataFrame, gap_sec: int = 1800) -> DataFrame:
 
     Caller must set ``withWatermark`` on ``ev`` — the timeout clock IS
     the watermark."""
+    # captured by the closure: applyInPandasWithState hands the UDF naive
+    # timestamps LOCALIZED to the session timezone, while
+    # setTimeoutTimestamp expects UTC epoch millis — localize before
+    # converting or the timeout is offset by the tz delta on any non-UTC
+    # session (sessions would close hours early/late).
+    session_tz = ev.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     # Self-contained closure (executor workers lack this package).
     def update(

@@ -43,6 +43,32 @@ def test_asof_join_at_or_before(spark):
     assert got[3] == (None, None)
 
 
+def test_asof_join_null_payload_and_null_ts(spark):
+    """NULL handling (review r6): the carried payload is the LATEST right
+    row's payload ATOMICALLY — a NULL field must not back-fill from an
+    older row (chimera) — and right rows with NULL right_ts are no match
+    for anyone (native ASOF semantics)."""
+    left = spark.createDataFrame(
+        [(100, 1, _ts(30)), (101, 2, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), 5.0),   # older row with a value
+            (1, _ts(20), None),  # LATEST row: NULL payload must carry
+            (2, None, 9.0),      # NULL ts: matches nothing
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"ts": "m_ts", "value": "m_value"},
+    )
+    got = {r["event_id"]: (r["m_ts"], r["m_value"]) for r in out.collect()}
+    assert got[100] == (_ts(20), None), got[100]  # not (ts(20), 5.0)
+    assert got[101] == (None, None), got[101]
+
+
 def test_range_join_binned_boundaries(spark, monkeypatch):
     """Bin-covering correctness: gaps of exactly the window width match
     (inclusive upper), zero/negative gaps don't, cross-bucket pairs are
