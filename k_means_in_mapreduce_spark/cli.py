@@ -167,6 +167,16 @@ def _run_fit(
         # reference's `output + iter` (KMeans.java:148)
         for i, snap in enumerate(model.centroid_history, start=1):
             _write_centroid_text(spark, snap, f"{out.rstrip('/')}{i}")
+        # a previous LONGER run on the same output path left higher-
+        # numbered dirs; remove them or a user diffing per-iteration
+        # output reads two runs' centroids as one (the reference fails
+        # loudly on pre-existing dirs; we overwrite, so we must sweep)
+        import shutil
+
+        i = len(model.centroid_history) + 1
+        while os.path.isdir(f"{out.rstrip('/')}{i}"):
+            shutil.rmtree(f"{out.rstrip('/')}{i}")
+            i += 1
 
     report = model.report()
     report.update({"input": inp, "output": out, "seed": seed, "method": method})

@@ -660,11 +660,17 @@ def _minhash_mllib_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(v)
     vt = model.transform(v).persist(StorageLevel.MEMORY_AND_DISK)
     vt.count()  # materialize signatures before the self-join fans out
+    # approxSimilarityJoin keeps distance STRICTLY below the threshold,
+    # but the truth set and the expression-LSH twin are both inclusive
+    # (jaccard >= JACCARD_THRESHOLD) — a pair at exactly the threshold
+    # would silently fall out of this path only. Widen the join by an
+    # epsilon and apply the inclusive filter explicitly.
     pairs = model.approxSimilarityJoin(
-        vt, vt, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+        vt, vt, 1.0 - JACCARD_THRESHOLD + 1e-9, distCol="jaccard_dist"
     )
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .filter((1.0 - F.col("jaccard_dist")) >= F.lit(JACCARD_THRESHOLD))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
@@ -861,6 +867,24 @@ EMBED_IVF_RECALL_MIN_PCT = 85
 @query("dedup_embedding_cosine_ivf")  # approximate — recall-bound via the
 # companion dedup_embedding_cosine_ivf_recall query + tests
 def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF near-dup pairs served as a build-once artifact: THREE consumers
+    (this query + the recall and precision companions) each needed the
+    probe explode, cell shuffle, and per-cell gemm — same rationale as
+    every other approximate dedup path (see ``near_dup_pairs``). The
+    computation is :func:`_ivf_pairs_compute`."""
+    from ..artifacts import materialized_artifact
+
+    return materialized_artifact(
+        spark,
+        sf_dir,
+        "embeddings.parquet",
+        "cosine_ivf_pairs",
+        {"probes": DEDUP_IVF_PROBES, "threshold": COSINE_THRESHOLD},
+        lambda: _ivf_pairs_compute(spark, sf_dir),
+    )
+
+
+def _ivf_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via IVF cell pruning — the bucketed
     production path (the exact block-NLJ ``dedup_embedding_cosine`` is
     its recall oracle, not the path a 100 TB run executes).

@@ -319,12 +319,16 @@ def points_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Documentation CC.pdf §2.0.1) but part of its declared surface — closed here
 # with a DETERMINISTIC seeded generator: the reference's unseeded
 # ``Math.random()`` is the one behavior we deliberately do not reproduce
-# (SURVEY §2.11), and a plain-arithmetic LCG makes the generator
-# oracle-expressible (identical integer algebra in Spark and SQL), unlike
-# ``F.rand`` whose stream depends on partition layout. Long form
-# (point_id, dim, val) keeps the gate comparing scalars.
-_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+# (SURVEY §2.11). The uniform comes from md5 of the flat index (review r6:
+# the previous single-step LCG-as-hash has no avalanche — every coordinate
+# lay on one constant-step lattice orbit, a sawtooth, not independent
+# uniforms). md5's first 13 hex digits are a 52-bit integer, exact in a
+# double, and both engines compute the identical string -> hash -> divide
+# chain — oracle-expressible unlike ``F.rand``, whose stream depends on
+# partition layout. Long form (point_id, dim, val) keeps the gate
+# comparing scalars.
 _RAND_N, _RAND_LO, _RAND_HI = 10, 0.0, 5.0
+_HASH_DENOM = float(1 << 52)  # 16^13
 
 
 def random_uniform_points(
@@ -341,14 +345,15 @@ def random_uniform_points(
     df = base.select(
         "point_id", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("dim")
     )
-    x = (
-        F.lit(_LCG_A) * (F.col("point_id") * d + F.col("dim") + F.lit(seed))
-        + F.lit(_LCG_C)
-    ) % F.lit(_LCG_M)
+    idx = (F.col("point_id") * d + F.col("dim") + F.lit(seed)).cast("string")
+    u = (
+        F.conv(F.substring(F.md5(idx), 1, 13), 16, 10).cast("double")
+        / F.lit(_HASH_DENOM)
+    )
     return df.select(
         "point_id",
         "dim",
-        (x.cast("double") / _LCG_M * (hi - lo) + lo).alias("val"),
+        (u * (hi - lo) + lo).alias("val"),
     )
 
 
@@ -356,8 +361,9 @@ def random_uniform_points(
     "points_random_uniform",
     f"""
     SELECT p.i AS point_id, CAST(t.i AS INT) AS dim,
-           CAST(({_LCG_A} * (p.i * {DIM} + t.i) + {_LCG_C}) % {_LCG_M} AS DOUBLE)
-               / {_LCG_M} * {_RAND_HI - _RAND_LO} + {_RAND_LO} AS val
+           CAST(('0x' || substr(md5(CAST(p.i * {DIM} + t.i AS VARCHAR)), 1, 13))::UBIGINT
+                AS DOUBLE)
+               / {_HASH_DENOM!r} * {_RAND_HI - _RAND_LO} + {_RAND_LO} AS val
     FROM range(0, {_RAND_N}) p(i) CROSS JOIN range(0, {DIM}) t(i)
     """,
 )

@@ -290,6 +290,11 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
         assert len(read_dir(d)) == 3
     assert not os.path.isdir(f"{out}5")
     assert read_dir(iter_dirs[-1]) == read_dir(out)
+    # a shorter re-run on the same path sweeps the stale higher dirs —
+    # otherwise a user diffing per-iteration output reads two runs as one
+    assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 0
+    assert os.path.isdir(f"{out}2")
+    assert not os.path.isdir(f"{out}3") and not os.path.isdir(f"{out}4")
     # default run writes no per-iteration dirs
     out2 = str(tmp_path / "cents_plain")
     assert main([inp, "3", "4", out2, "64", "0.0", "2"]) == 0
