@@ -69,6 +69,62 @@ def test_asof_join_null_payload_and_null_ts(spark):
     assert got[101] == (None, None), got[101]
 
 
+def test_asof_join_property_random_instances(spark):
+    """Hypothesis: random small (left, right) instances — every case keyed
+    into one batched asof_join call, each left row verified against a
+    transparent Python point-in-time oracle (latest right row with
+    right_ts <= left_ts; NULL payload fields carried as-is)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+    rrow = st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 50),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        l=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   max_size=12),
+        r=st.lists(rrow, max_size=12),
+    )
+    def collect(l, r):
+        cases.append((l, r))
+
+    collect()
+
+    lrows, rrows, expected = [], [], {}
+    eid = 0
+    for c, (l, r) in enumerate(cases):
+        rmap = {}
+        for u, t, v in r:
+            rmap[(u, t)] = v  # unique (key, ts): tie-break is covered above
+        for (u, t), v in rmap.items():
+            rrows.append((c * 10 + u, _ts(t), v))
+        for u, t in l:
+            prior = [t2 for (u2, t2) in rmap if u2 == u and t2 <= t]
+            expected[eid] = (
+                (_ts(max(prior)), rmap[(u, max(prior))]) if prior
+                else (None, None)
+            )
+            lrows.append((eid, c * 10 + u, _ts(t)))
+            eid += 1
+
+    left = spark.createDataFrame(
+        lrows, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        rrows, "user_id long, ts timestamp, value double"
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"ts": "m_ts", "value": "m_value"},
+    )
+    got = {r["event_id"]: (r["m_ts"], r["m_value"]) for r in out.collect()}
+    assert got == expected
+
+
 def test_range_join_binned_boundaries(spark, monkeypatch):
     """Bin-covering correctness: gaps of exactly the window width match
     (inclusive upper), zero/negative gaps don't, cross-bucket pairs are
