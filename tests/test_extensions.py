@@ -288,6 +288,23 @@ def test_exact_quantiles_property(spark):
             assert g == pytest.approx(w, rel=1e-9, abs=1e-9), (i, vs)
 
 
+def test_exact_quantiles_null_contract(spark):
+    """NULL contract (review r6): NULL values are excluded from n_rows
+    and the quantiles (quantile_cont semantics), and an all-NULL group
+    produces no row — the oracles' count(col) + HAVING mirror this."""
+    from k_means_in_mapreduce_spark.operators.statistics import exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("b", None)],
+        "k string, v double",
+    )
+    out = {
+        r["k"]: (r["n_rows"], r["q50"])
+        for r in exact_quantiles(df, "k", "v", {"q50": 0.5}).collect()
+    }
+    assert out == {"a": (2, 2.0)}  # n_rows=2 (non-null), median of [1,3]
+
+
 def test_approx_quantiles_error_bound(spark):
     """approx_percentile(accuracy=10000) rank error <= n/accuracy: each
     sketched quantile must fall between the exact quantiles one rank-error
