@@ -121,8 +121,35 @@ def test_asof_join_property_random_instances(spark):
         left, right, key="user_id", left_ts="ts", right_ts="ts",
         payload={"ts": "m_ts", "value": "m_value"},
     )
-    got = {r["event_id"]: (r["m_ts"], r["m_value"]) for r in out.collect()}
-    assert got == expected
+    rows = out.collect()
+    # exactly one output row per left row — a dict alone would mask fan-out
+    assert len(rows) == len(expected)
+    got = {r["event_id"]: (r["m_ts"], r["m_value"]) for r in rows}
+    for eid, want in expected.items():
+        assert got[eid] == want, (
+            f"case eid={eid}: got {got[eid]}, want {want}; "
+            f"left={lrows[eid]}, right={[r for r in rrows if r[0] == lrows[eid][1]]}"
+        )
+
+
+def test_asof_join_duplicate_ts_tiebreak(spark):
+    """Documented tie-break: among right rows sharing (key, ts), the
+    GREATEST payload tuple is carried, deterministically — dropping '_p'
+    from the window ordering must fail this test, not just be silently
+    nondeterministic."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(30))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 2.0), (1, _ts(10), 7.0), (1, _ts(10), 5.0)],
+        "user_id long, ts timestamp, value double",
+    ).repartition(4)  # ties must resolve the same under any partitioning
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"ts": "m_ts", "value": "m_value"},
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["m_ts"], out[0]["m_value"]) == (_ts(10), 7.0)
 
 
 def test_range_join_binned_boundaries(spark, monkeypatch):
