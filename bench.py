@@ -46,6 +46,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_N = 100_000  # reference benchmark scale (BASELINE.md, Fig 3.1/3.5)
+# second published grid point (Fig 3.5: Hadoop ~26 s/iter, sequential
+# Python 0.24 s at n=400k) — arrow+mllib only, to bound bench wall time
+BENCH_N_LARGE = 400_000
 BENCH_K = 4
 BENCH_ITERS = 5
 BENCH_REPEATS = 3  # median-of-3 per method; see comment in bench_kmeans_iteration
@@ -74,16 +77,19 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def bench_kmeans_iteration(spark) -> dict:
+def bench_kmeans_iteration(
+    spark, bench_n: int = BENCH_N, methods: tuple = ("arrow", "expr")
+) -> dict:
     """Seconds/iteration of the reference dataflow (assign -> CF agg ->
-    collect k rows) on n=100k cached points — BASELINE.md's headline unit."""
+    collect k rows) on ``bench_n`` cached points — BASELINE.md's headline
+    unit (published grid points: n=100k and n=400k, Fig 3.1/3.5)."""
     from pyspark.sql import functions as F
 
     from k_means_in_mapreduce_spark.operators import kmeans_df as K
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n0 = emb.count()
-    copies = max(1, (BENCH_N + n0 - 1) // n0)
+    copies = max(1, (bench_n + n0 - 1) // n0)
     # Deterministic tiling: copy c shifts vec_id into a fresh id range and
     # jitters dim 0 by c*1e-3 so points are distinct but the distribution
     # (and thus iteration count) is stable run-to-run.
@@ -98,7 +104,7 @@ def bench_kmeans_iteration(spark) -> dict:
                 ).cast("float"),
             ).alias("embedding"),
         )
-        .limit(BENCH_N)
+        .limit(bench_n)
     )
     pts = tiled.repartition(CPUS).cache()
     n = pts.count()  # materialize cache before the clock starts
@@ -113,7 +119,7 @@ def bench_kmeans_iteration(spark) -> dict:
     # region), which masked real round-over-round deltas.  The median is
     # robust to one bad run in either direction.
     out = {"n": n}
-    for method in ("arrow", "expr"):
+    for method in methods:
         walls, iters = [], 1
         for _ in range(BENCH_REPEATS):
             t0 = time.monotonic()
@@ -240,6 +246,11 @@ def main() -> None:
     per_query["_kmeans_100k_per_iter_arrow"] = round(km["arrow"]["sec_per_iter"], 3)
     per_query["_kmeans_100k_per_iter_expr"] = round(km["expr"]["sec_per_iter"], 3)
     per_query["_kmeans_100k_per_iter_mllib"] = round(km["mllib"]["sec_per_iter"], 3)
+    # second published grid point (Fig 3.5: Hadoop ~26 s/iter, sequential
+    # Python 0.24 s); arrow only — the expr path's unit is pinned at 100k
+    km4 = bench_kmeans_iteration(spark, BENCH_N_LARGE, methods=("arrow",))
+    per_query["_kmeans_400k_per_iter_arrow"] = round(km4["arrow"]["sec_per_iter"], 3)
+    per_query["_kmeans_400k_per_iter_mllib"] = round(km4["mllib"]["sec_per_iter"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -262,6 +273,11 @@ def main() -> None:
             "total_wall_sec": round(
                 km["arrow"]["wall"] + km["expr"]["wall"], 3
             ),
+        },
+        "kmeans_400k": {
+            "n": km4["n"],
+            "sec_per_iter_arrow": round(km4["arrow"]["sec_per_iter"], 3),
+            "sec_per_iter_mllib": round(km4["mllib"]["sec_per_iter"], 3),
         },
         "total_query_sec": round(
             sum(v for v in per_query.values() if v > 0), 3
