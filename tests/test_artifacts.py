@@ -109,6 +109,74 @@ def test_locked_rebuild_ignores_leftover_lock_file(tmp_path):
     assert A._meta_is(meta, data, want)
 
 
+def _race_worker(root, idx, log_path):
+    """Subprocess body for the cross-process race test (module-level so
+    multiprocessing can pickle it)."""
+    import json
+    import os
+    import time
+
+    from k_means_in_mapreduce_spark import artifacts as A
+
+    data = os.path.join(root, "data")
+    meta = os.path.join(root, "meta.json")
+    want = {"fingerprint": "f", "code": "c"}
+
+    class W:
+        def mode(self, _m):
+            return self
+
+        def parquet(self, path):
+            # torn-write detector: mark in-progress, linger, then commit.
+            # If two builders overlap, the second sees the first's marker.
+            flag = os.path.join(path, "_IN_PROGRESS")
+            os.makedirs(path, exist_ok=True)
+            overlapped = os.path.exists(flag)
+            with open(flag, "w"):
+                pass
+            time.sleep(0.5)
+            with open(os.path.join(path, "_SUCCESS"), "w"):
+                pass
+            os.remove(flag)
+            with open(log_path, "a") as fh:
+                fh.write(json.dumps({"idx": idx, "overlapped": overlapped}) + "\n")
+
+    class D:
+        write = W()
+
+    A._locked_rebuild(root, data, meta, want, lambda: D())
+
+
+def test_locked_rebuild_excludes_concurrent_processes(tmp_path):
+    """Two real OS processes racing the same stale artifact: exactly one
+    must build (the flock holder); the loser serves the winner's commit.
+    No overlapping writes into data_dir."""
+    import json
+    import multiprocessing as mp
+
+    root = str(tmp_path / "art")
+    log_path = str(tmp_path / "log.jsonl")
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=_race_worker, args=(root, i, log_path))
+        for i in range(2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    builds = [json.loads(ln) for ln in open(log_path)]
+    assert len(builds) == 1, builds  # loser must NOT rebuild
+    assert not builds[0]["overlapped"]
+    want = {"fingerprint": "f", "code": "c"}
+    assert A._meta_is(
+        str(tmp_path / "art" / "meta.json"),
+        str(tmp_path / "art" / "data"),
+        want,
+    )
+
+
 def test_locked_rebuild_replaces_mismatched_meta(tmp_path):
     """A stale (different-code) artifact is rebuilt under the lock and the
     meta re-committed atomically."""
