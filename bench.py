@@ -242,6 +242,25 @@ def main() -> None:
             per_query[name] = per_query_cold[name] = -1.0
             print(f"# BENCH ERROR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
+    # checkpoint the per-query columns BEFORE the kmeans grid: if the
+    # driver kills a long run mid-kmeans, the file still carries the 90%
+    # of the data already measured (it is overwritten with the full dict
+    # below on a complete run)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    result_file = os.path.join(repo, "BENCH_RESULT.json")
+    with open(result_file, "w") as fh:
+        json.dump(
+            {
+                "partial": True,
+                "queries": per_query,
+                "queries_cold": per_query_cold,
+                "sf": SF_DIR,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+
     km = bench_kmeans_iteration(spark)
     per_query["_kmeans_100k_per_iter_arrow"] = round(km["arrow"]["sec_per_iter"], 3)
     per_query["_kmeans_100k_per_iter_expr"] = round(km["expr"]["sec_per_iter"], 3)
@@ -253,8 +272,6 @@ def main() -> None:
     per_query["_kmeans_400k_per_iter_mllib"] = round(km4["mllib"]["sec_per_iter"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    repo = os.path.dirname(os.path.abspath(__file__))
-    result_file = os.path.join(repo, "BENCH_RESULT.json")
     result = {
         "metric": "kmeans_sec_per_iteration_n100k",
         "value": round(km["arrow"]["sec_per_iter"], 3),
