@@ -315,6 +315,52 @@ def test_exact_quantiles_property(spark):
             assert g == pytest.approx(w, rel=1e-9, abs=1e-9), (i, vs)
 
 
+def test_decimal_moments_property(spark):
+    """Hypothesis: the shared exact-decimal moments helper (now the single
+    definition behind orders_price_moments and events_value_outliers)
+    matches numpy's mean/sample-variance on arbitrary 2-dp values, and
+    honors the n>1 NULL guard."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from k_means_in_mapreduce_spark.operators.statistics import decimal_moments
+
+    cases: list[list[float]] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            # 2-dp values in the decimal(18,2) domain, like prices
+            st.integers(min_value=-10**7, max_value=10**7).map(
+                lambda c: c / 100.0
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def collect(vs):
+        cases.append(vs)
+
+    collect()
+    rows = [(f"g{i}", float(v)) for i, vs in enumerate(cases) for v in vs]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(8)
+    out = {
+        r["k"]: (r["n"], r["_mean"], r["_var"], r["_sd"])
+        for r in decimal_moments(df, "k", "v", scale=2).collect()
+    }
+    assert len(out) == len(cases)
+    for i, vs in enumerate(cases):
+        n, mean, var, sd = out[f"g{i}"]
+        a = np.array(vs)
+        assert n == len(vs)
+        assert mean == pytest.approx(a.mean(), rel=1e-12, abs=1e-9)
+        if len(vs) > 1:
+            assert var == pytest.approx(a.var(ddof=1), rel=1e-9, abs=1e-9), (i, vs)
+            assert sd == pytest.approx(a.std(ddof=1), rel=1e-9, abs=1e-9)
+        else:
+            assert var is None and sd is None  # stddev_samp semantics
+
+
 def test_exact_quantiles_null_contract(spark):
     """NULL contract (review r6): NULL values are excluded from n_rows
     and the quantiles (quantile_cont semantics), and an all-NULL group
