@@ -173,8 +173,10 @@ def events_range_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("e_ts") + F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECOND")
         )
     )
+    # exact micros difference, one rounding (see streaming twin's note)
     gap = (
-        F.col("c_ts").cast("double") - F.col("e_ts").cast("double")
+        (F.unix_micros("c_ts") - F.unix_micros("e_ts")).cast("double")
+        / F.lit(1_000_000.0)
     ).alias("gap_sec")
     return joined.select(
         "error_event_id", "click_event_id", "user_id", gap

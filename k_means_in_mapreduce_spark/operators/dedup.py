@@ -263,19 +263,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_artifact(
-    spark: SparkSession, sf_dir: str, name: str, params: dict, build
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    params: dict,
+    build,
+    source_file: str = "documents.parquet",
 ) -> DataFrame:
     """Build-once materialization for DETERMINISTIC dedup intermediates
-    keyed on the documents.parquet content fingerprint + algorithm
-    parameters — see ``sources.filesources.materialized_artifact`` (shared
-    with the IVF index and exact-quantile artifacts). Pair lists and
-    signature tables are first-class materialized artifacts in a real
-    pipeline — grouping, audit metrics, and keeper selection all consume
-    them — not ephemeral subqueries recomputed per consumer."""
+    keyed on the source parquet's content fingerprint + algorithm
+    parameters — see ``artifacts.materialized_artifact`` (shared with the
+    IVF index and exact-quantile artifacts). Pair lists and signature
+    tables are first-class materialized artifacts in a real pipeline —
+    grouping, audit metrics, and keeper selection all consume them — not
+    ephemeral subqueries recomputed per consumer. ``source_file``
+    defaults to the documents table; embedding-keyed artifacts (cosine
+    truth, IVF pairs) pass embeddings.parquet."""
     from ..artifacts import materialized_artifact
 
     return materialized_artifact(
-        spark, sf_dir, "documents.parquet", f"dedup_{name}", params, build
+        spark, sf_dir, source_file, f"dedup_{name}", params, build
     )
 
 
@@ -335,7 +342,24 @@ def connected_components(
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    changed = -1
+
+    def _label_checksum(df: DataFrame) -> tuple:
+        # count + order-insensitive xor-hash: ONE aggregate job replaces
+        # the labels-vs-labels self-join + count this loop used to pay
+        # every round for convergence detection (same fixed-point test as
+        # connected_components_star; a 64-bit collision masking a real
+        # change is negligible). Min-label propagation never changes the
+        # node set, so equal checksums mean equal label assignments.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("node", "label")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    prev_ck = _label_checksum(labels)
+    changed = True
     for _ in range(max_iter):
         neighbor = und.join(
             labels, und["b"] == labels["node"]
@@ -346,16 +370,13 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        ck = _label_checksum(new_labels)
+        changed = ck != prev_ck
+        prev_ck = ck
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
-    if changed != 0:
+    if changed:
         # Exiting via max_iter with labels still moving would silently
         # return SPLIT components (wrong groups). Near-dup graphs have
         # diameter ~2-4, so hitting this means an adversarial long chain:
@@ -363,8 +384,8 @@ def connected_components(
         # is the diameter escape if such graphs become real.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); graph diameter exceeds "
-            "max_iter — raise max_iter or switch to large-star/small-star"
+            "(labels still changing); graph diameter exceeds max_iter — "
+            "raise max_iter or switch to large-star/small-star"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
@@ -742,7 +763,10 @@ _COSINE_TRUTH_SQL = f"""
         GROUP BY a.vec_id, b.vec_id
     )
     SELECT vec_a, vec_b, d / (na * nb) AS cos_sim
-    FROM dot WHERE d / (na * nb) >= {COSINE_THRESHOLD}
+    FROM dot
+    WHERE na * nb > 0  -- zero vectors: engine scores them 0, oracle must
+                       -- not emit 0/0 = NaN pairs (DuckDB sorts NaN high)
+      AND d / (na * nb) >= {COSINE_THRESHOLD}
 """
 
 
@@ -760,15 +784,13 @@ def exact_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full quadratic truth — same rationale as :func:`near_dup_pairs`,
     keyed on the embeddings content fingerprint + threshold + the
     producing module's code fingerprint."""
-    from ..artifacts import materialized_artifact
-
-    return materialized_artifact(
+    return _dedup_artifact(
         spark,
         sf_dir,
-        "embeddings.parquet",
         "cosine_truth",
         {"threshold": COSINE_THRESHOLD},
         lambda: _exact_cosine_compute(spark, sf_dir),
+        source_file="embeddings.parquet",
     )
 
 
@@ -819,7 +841,12 @@ def _exact_cosine_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            # zero vectors: norm 0 -> division yields NaN rows and NaN
+            # similarities silently dropped by the >= filter; clamp the
+            # norm to 1 so a zero vector scores 0 with everything (the
+            # oracle excludes na*nb = 0 pairs to match)
+            xn = np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / np.where(xn == 0.0, 1.0, xn)
             va = pdf["vec_id"].to_numpy(dtype=np.int64)
             out = []
             for fpath in files:
@@ -831,7 +858,8 @@ def _exact_cosine_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
                     B = np.asarray(emb.flatten(), dtype=np.float64).reshape(
                         len(emb), -1
                     )
-                    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                    bn = np.linalg.norm(B, axis=1, keepdims=True)
+                    Bn = B / np.where(bn == 0.0, 1.0, bn)
                     S = Xn @ Bn.T
                     mask = (S >= thr) & (ids_b[None, :] > va[:, None])
                     ii, jj = np.nonzero(mask)
@@ -872,15 +900,13 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe explode, cell shuffle, and per-cell gemm — same rationale as
     every other approximate dedup path (see ``near_dup_pairs``). The
     computation is :func:`_ivf_pairs_compute`."""
-    from ..artifacts import materialized_artifact
-
-    return materialized_artifact(
+    return _dedup_artifact(
         spark,
         sf_dir,
-        "embeddings.parquet",
         "cosine_ivf_pairs",
         {"probes": DEDUP_IVF_PROBES, "threshold": COSINE_THRESHOLD},
         lambda: _ivf_pairs_compute(spark, sf_dir),
+        source_file="embeddings.parquet",
     )
 
 
@@ -935,7 +961,8 @@ def _ivf_pairs_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         X = np.array(pdf["e"].tolist(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()
-        U = X / np.linalg.norm(X, axis=1, keepdims=True)
+        un = np.linalg.norm(X, axis=1, keepdims=True)
+        U = X / np.where(un == 0.0, 1.0, un)  # zero vectors score 0, not NaN
         S = U @ U.T
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = S[ii, jj] >= threshold

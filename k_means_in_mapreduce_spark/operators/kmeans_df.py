@@ -309,6 +309,10 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
     jobs, ``KMeans.java:113,130`` — a documented off-by-one we do NOT
     reproduce).
     """
+    if config.method not in ("expr", "arrow"):
+        # fail fast: a typo'd method would otherwise silently run the
+        # ~3.5x slower expression path
+        raise ValueError(f"unknown method {config.method!r}: use 'expr' or 'arrow'")
     base = df.select(F.col(config.features_col).alias("features"))
 
     import time

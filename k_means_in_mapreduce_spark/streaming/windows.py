@@ -49,11 +49,14 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-# (sf_dir, spark application id) -> probed stream schema. Keyed on the
-# applicationId, NOT id(spark): sessions are recreated across tests and
-# CPython reuses addresses after GC, so an id() key could serve a schema
-# probed under a dead session; applicationId is unique per SparkContext.
-_PROBED_SCHEMA: dict[tuple[str, str], T.StructType] = {}
+# (sf_dir, spark application id, source fingerprint) -> probed stream
+# schema. Keyed on the applicationId, NOT id(spark): sessions are
+# recreated across tests and CPython reuses addresses after GC, so an
+# id() key could serve a schema probed under a dead session. Keyed on the
+# source CONTENT fingerprint too: a regenerated events.parquet can change
+# ts vintage (int64-nanos vs TIMESTAMP), and a stale schema would misread
+# it for the rest of the session — same staleness rule as artifacts.py.
+_PROBED_SCHEMA: dict[tuple[str, str, str], T.StructType] = {}
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,9 +66,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nanos vs TIMESTAMP(MICROS) — see sources.tables.normalize_event_ts).
     # The probe costs a file listing + footer read (~0.1 s) and every
     # streaming query pays it, so memoize per (sf_dir, session).
+    from ..artifacts import source_fingerprint
     from ..sources.tables import normalize_event_ts
 
-    key = (os.path.abspath(sf_dir), spark.sparkContext.applicationId)
+    key = (
+        os.path.abspath(sf_dir),
+        spark.sparkContext.applicationId,
+        source_fingerprint(f"{sf_dir}/events.parquet"),
+    )
     schema = _PROBED_SCHEMA.get(key)
     if schema is None:
         probed = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -123,17 +131,19 @@ def _run_to_memory(
             q.processAllAvailable()
         finally:
             q.stop()
+        # Materialize JVM-side and sever lineage from the (stopped) memory
+        # sink: localCheckpoint keeps the rows as executor blocks — no
+        # collect-to-Python round-trip (1.6 s for ~95k session rows at
+        # sf0.1, vs 0.2 s for the checkpoint).
+        out = spark.table(name).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # Materialize JVM-side and sever lineage from the (stopped) memory
-    # sink: localCheckpoint keeps the rows as executor blocks — no
-    # collect-to-Python round-trip (1.6 s for ~95k session rows at sf0.1,
-    # vs 0.2 s for the checkpoint). Then DROP the sink's temp view — it
-    # pins the full materialized result in driver memory for the session
-    # lifetime otherwise, and a long-lived gate/bench session runs many
-    # streaming queries (same leak class as the fixed CLI cache leak).
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
+        # DROP the sink's temp view on EVERY path — it pins the full
+        # materialized result in driver memory for the session lifetime,
+        # and a failed query (schema mismatch, executor loss) must not
+        # leak its partial sink either (same leak class as the fixed CLI
+        # cache leak). dropTempView on a never-created view is a no-op.
+        spark.catalog.dropTempView(name)
     return out
 
 
@@ -260,9 +270,14 @@ def _error_click_join(errors: DataFrame, clicks: DataFrame, how: str) -> DataFra
         "error_event_id",
         "click_event_id",
         F.col("e_user_id").alias("user_id"),
-        (F.col("c_ts").cast("double") - F.col("e_ts").cast("double")).alias(
-            "gap_sec"
-        ),
+        # exact integer microsecond difference, ONE rounding at the final
+        # divide — casting each timestamp to double first rounds twice
+        # (~0.5 µs ulp at 2024 epochs) and can diverge from the oracle's
+        # date_diff('microsecond')/1e6 in the last bits
+        (
+            (F.unix_micros("c_ts") - F.unix_micros("e_ts")).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("gap_sec"),
     )
 
 
@@ -358,15 +373,11 @@ def stream_kmeans_scoring(
     the centroid set as the broadcast model."""
     from ..operators.kmeans_df import assign_clusters
 
-    schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField(
-                "embedding", T.ArrayType(T.FloatType(), containsNull=True)
-            ),
-            T.StructField("label", T.IntegerType()),
-        ]
-    )
+    # Probe the file's own schema like read_events_stream does — a
+    # hard-coded struct silently misreads a regenerated fixture whose
+    # embedding element type or column set changed (the batch loader
+    # adapts automatically; the stream source must be told).
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
