@@ -220,6 +220,12 @@ def main() -> None:
         "noop"
     ).save()
 
+    # Headline k-means grid FIRST, against a clean JVM: measured last, the
+    # n=400k point swung 0.39 -> 1.44 s/iter purely from the GC/memory
+    # pressure left behind by 111 queries (isolated re-run: 0.43).
+    km = bench_kmeans_iteration(spark)
+    km4 = bench_kmeans_iteration(spark, BENCH_N_LARGE, methods=("arrow",))
+
     # Warm column = min over the runs AFTER the first (steady state: the
     # first run absorbs one-off costs — artifact builds, shuffle file
     # creation, codegen compile). Cold column = that first run. Streaming
@@ -242,32 +248,14 @@ def main() -> None:
             per_query[name] = per_query_cold[name] = -1.0
             print(f"# BENCH ERROR {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
-    # checkpoint the per-query columns BEFORE the kmeans grid: if the
-    # driver kills a long run mid-kmeans, the file still carries the 90%
-    # of the data already measured (it is overwritten with the full dict
-    # below on a complete run)
     repo = os.path.dirname(os.path.abspath(__file__))
     result_file = os.path.join(repo, "BENCH_RESULT.json")
-    with open(result_file, "w") as fh:
-        json.dump(
-            {
-                "partial": True,
-                "queries": per_query,
-                "queries_cold": per_query_cold,
-                "sf": SF_DIR,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
 
-    km = bench_kmeans_iteration(spark)
     per_query["_kmeans_100k_per_iter_arrow"] = round(km["arrow"]["sec_per_iter"], 3)
     per_query["_kmeans_100k_per_iter_expr"] = round(km["expr"]["sec_per_iter"], 3)
     per_query["_kmeans_100k_per_iter_mllib"] = round(km["mllib"]["sec_per_iter"], 3)
     # second published grid point (Fig 3.5: Hadoop ~26 s/iter, sequential
     # Python 0.24 s); arrow only — the expr path's unit is pinned at 100k
-    km4 = bench_kmeans_iteration(spark, BENCH_N_LARGE, methods=("arrow",))
     per_query["_kmeans_400k_per_iter_arrow"] = round(km4["arrow"]["sec_per_iter"], 3)
     per_query["_kmeans_400k_per_iter_mllib"] = round(km4["mllib"]["sec_per_iter"], 3)
 
@@ -295,6 +283,15 @@ def main() -> None:
             "n": km4["n"],
             "sec_per_iter_arrow": round(km4["arrow"]["sec_per_iter"], 3),
             "sec_per_iter_mllib": round(km4["mllib"]["sec_per_iter"], 3),
+        },
+        # per-method wall-clock spreads (sorted, BENCH_REPEATS fits each)
+        # so variance is visible next to the medians
+        "kmeans_spreads": {
+            "arrow_100k": km["arrow"]["spread"],
+            "expr_100k": km["expr"]["spread"],
+            "mllib_100k": km["mllib"]["spread"],
+            "arrow_400k": km4["arrow"]["spread"],
+            "mllib_400k": km4["mllib"]["spread"],
         },
         "total_query_sec": round(
             sum(v for v in per_query.values() if v > 0), 3
