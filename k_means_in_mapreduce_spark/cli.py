@@ -163,20 +163,58 @@ def _run_fit(
     # final centroids in the reference's TextOutputFormat shape
     _write_centroid_text(spark, model.centroids, out)
     if fidelity:
-        # one directory per completed iteration, 1-based like the
-        # reference's `output + iter` (KMeans.java:148)
+        # one directory per completed update iteration, 1-based like the
+        # reference's `output + iter` (KMeans.java:148). Empty-cluster
+        # re-init iterations (C4) produce no centroid snapshot, so they
+        # get no directory and shift the numbering relative to a
+        # reference run that hit the same event — warn so a user diffing
+        # per-iteration output knows the indices are update-steps only.
+        if model.reinit_count:
+            print(
+                f"--fidelity: {model.reinit_count} empty-cluster re-init "
+                "iteration(s) produced no snapshot; <output><i> numbers "
+                "completed update iterations, not raw iteration indices",
+                file=sys.stderr,
+            )
         for i, snap in enumerate(model.centroid_history, start=1):
             _write_centroid_text(spark, snap, f"{out.rstrip('/')}{i}")
         # a previous LONGER run on the same output path left higher-
         # numbered dirs; remove them or a user diffing per-iteration
         # output reads two runs' centroids as one (the reference fails
-        # loudly on pre-existing dirs; we overwrite, so we must sweep)
-        import shutil
+        # loudly on pre-existing dirs; we overwrite, so we must sweep).
+        # The sweep is local-filesystem-only (os/shutil): on a URI
+        # output (hdfs://, s3a://) skip it with a warning instead of
+        # silently leaving stale dirs unmentioned.
+        if "://" in out:
+            print(
+                "--fidelity: output is a URI; stale higher-numbered "
+                "per-iteration dirs from a previous longer run are NOT "
+                "swept (local paths only) — remove them manually",
+                file=sys.stderr,
+            )
+        else:
+            import shutil
 
-        i = len(model.centroid_history) + 1
-        while os.path.isdir(f"{out.rstrip('/')}{i}"):
-            shutil.rmtree(f"{out.rstrip('/')}{i}")
-            i += 1
+            i = len(model.centroid_history) + 1
+            while os.path.isdir(f"{out.rstrip('/')}{i}"):
+                stale = f"{out.rstrip('/')}{i}"
+                # only delete what a previous run plausibly wrote: a
+                # Spark text output dir (_SUCCESS marker or part- files).
+                # An unrelated user dir that happens to match the
+                # numeric-suffix naming must never be destroyed.
+                entries = os.listdir(stale)
+                if not ("_SUCCESS" in entries
+                        or any(e.startswith("part-") for e in entries)):
+                    print(
+                        f"--fidelity: refusing to remove {stale!r}: it "
+                        "does not look like a previous run's centroid "
+                        "output (no _SUCCESS/part-* files); remove or "
+                        "rename it manually",
+                        file=sys.stderr,
+                    )
+                    return 1
+                shutil.rmtree(stale)
+                i += 1
 
     report = model.report()
     report.update({"input": inp, "output": out, "seed": seed, "method": method})

@@ -299,3 +299,30 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
     out2 = str(tmp_path / "cents_plain")
     assert main([inp, "3", "4", out2, "64", "0.0", "2"]) == 0
     assert not os.path.isdir(f"{out2}1")
+
+
+def test_cli_fidelity_sweep_refuses_unrelated_dirs(spark, tmp_path, capsys):
+    """The stale-dir sweep only deletes directories that look like a
+    previous run's centroid output (_SUCCESS / part-* files). An
+    unrelated user directory that happens to match the <output><N>
+    naming is preserved and the run fails loudly (ADVICE r6 medium)."""
+    import os
+
+    from k_means_in_mapreduce_spark.cli import main
+    from k_means_in_mapreduce_spark.sources.text_points import write_points
+
+    inp = str(tmp_path / "pts")
+    out = str(tmp_path / "res")
+    emb = load_table(spark, SF0001, "embeddings").limit(100)
+    write_points(emb, inp, "embedding")
+
+    # an unrelated pre-existing dir matching the numeric-suffix naming:
+    # with max_iter=2 the sweep starts at <out>3 and must refuse it
+    unrelated = tmp_path / "res3"
+    unrelated.mkdir()
+    (unrelated / "precious.txt").write_text("user data")
+
+    assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 1
+    assert unrelated.is_dir()
+    assert (unrelated / "precious.txt").read_text() == "user data"
+    assert "refusing to remove" in capsys.readouterr().err
