@@ -7,6 +7,26 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 All real logic lives in the ``k_means_in_mapreduce_spark`` package; this
 module just re-exports its registry.
+
+Reading CORRECTNESS_r*.json: 9 queries intentionally have NO oracle_sql
+entry (``err: no_oracle``) because an approximate ANN/LSH/sketch result
+has no ANSI-SQL equivalent. Each is BOUND by an oracle-checked companion
+query in the same file — a ``no_oracle`` row is not an error when its
+companion is hash-green:
+
+    ann_ivf_topk                  -> ann_ivf_recall_at_10
+    ann_lsh_topk                  -> ann_lsh_recall_at_10
+    ann_ivf_knn_join              -> ann_ivf_knn_join_recall
+    dedup_minhash_lsh             -> dedup_minhash_lsh_recall
+    dedup_minhash_mllib           -> dedup_minhash_mllib_recall
+    dedup_simhash                 -> dedup_simhash_recall
+    dedup_embedding_cosine_ivf    -> dedup_embedding_cosine_ivf_recall
+                                     + dedup_embedding_cosine_ivf_precision
+    events_distinct_users_hll     -> events_distinct_users_hll_bound
+    lineitem_price_quantiles_approx -> lineitem_price_quantiles_bound
+
+(Also tabulated in README.md "Approximate queries and their binding
+companions".)
 """
 
 from __future__ import annotations
