@@ -78,7 +78,10 @@ def force(df) -> None:
 
 
 def bench_kmeans_iteration(
-    spark, bench_n: int = BENCH_N, methods: tuple = ("arrow", "expr")
+    spark,
+    bench_n: int = BENCH_N,
+    methods: tuple = ("arrow", "expr"),
+    repeats: int = BENCH_REPEATS,
 ) -> dict:
     """Seconds/iteration of the reference dataflow (assign -> CF agg ->
     collect k rows) on ``bench_n`` cached points — BASELINE.md's headline
@@ -114,14 +117,24 @@ def bench_kmeans_iteration(
     K.cluster_features_arrow(pts, K.sample_initial_centroids(
         pts, BENCH_K, 42, "embedding"), "embedding")
 
-    # Median of 3 fits per method: same-code spread across runs reached
-    # 2.6x in round 3 (GC pauses, codegen compile landing inside the timed
-    # region), which masked real round-over-round deltas.  The median is
-    # robust to one bad run in either direction.
+    # Median of ``repeats`` fits per method: same-code spread across runs
+    # reached 2.6x in round 3 (GC pauses, codegen compile landing inside
+    # the timed region), which masked real round-over-round deltas.  The
+    # median is robust to bad runs in either direction.  An explicit JVM
+    # GC before each timed fit keeps collections of the PREVIOUS run's
+    # garbage from landing inside this run's timed region — the r6
+    # mllib_400k spread (5.6-13.5 s across 3 runs) was exactly that.
+    def _gc():
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # private API; a bench must never die on it
+
     out = {"n": n}
     for method in methods:
         walls, iters = [], 1
-        for _ in range(BENCH_REPEATS):
+        for _ in range(repeats):
+            _gc()
             t0 = time.monotonic()
             model = K.fit(
                 pts,
@@ -145,7 +158,8 @@ def bench_kmeans_iteration(
     from k_means_in_mapreduce_spark.operators.kmeans_mllib import fit_mllib
 
     walls, iters = [], 1
-    for _ in range(BENCH_REPEATS):
+    for _ in range(repeats):
+        _gc()
         t0 = time.monotonic()
         res = fit_mllib(
             pts, k=BENCH_K, max_iter=BENCH_ITERS, seed=42, tol=0.0,
@@ -174,16 +188,34 @@ def clear_artifact_cache(sf_dir: str) -> int:
     per-ARTIFACT, not per-query: when several queries share one artifact
     (e.g. the Jaccard pair list), only the first consumer's first run
     pays the build; later consumers' "cold" rows time a warm serve."""
+    import re
     import shutil
 
     from k_means_in_mapreduce_spark.artifacts import scratch_tag
 
     tag = scratch_tag(sf_dir)
+    # Anchor on the known scratch-name families + the EXACT tag (ADVICE
+    # r6: bare entry.endswith(tag) also deletes a different sf_dir whose
+    # sanitized tag has this tag as a suffix, e.g. /data/sf1 clearing
+    # /other/data/sf1). The fixed names now match exactly, closing the
+    # hazard for them outright. art_/bkt_ entries carry a variable
+    # middle, so for those the collision narrows to another sf_dir whose
+    # path ends with this sf_dir's full path (its extra prefix is then
+    # absorbed by the name wildcard) — full disambiguation needs a
+    # delimiter in artifacts.scratch_tag's on-disk naming, deferred to a
+    # round where the operator fingerprint cone flips anyway.
+    pat = re.compile(
+        r"^(?:art_[A-Za-z0-9_]+|bkt_[A-Za-z0-9_]+|ivf_index|centroids_text"
+        r"|orders_csv|events_json|orders_part|lineitem_orc"
+        r"|orders_corrupt_csv|points_text)"
+        + re.escape(tag)
+        + r"(?:\.fingerprint)?$"
+    )
     tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
     removed = 0
     if os.path.isdir(tmp):
         for entry in os.listdir(tmp):
-            if entry.endswith(tag) or entry.endswith(tag + ".fingerprint"):
+            if pat.match(entry):
                 full = os.path.join(tmp, entry)
                 if os.path.isdir(full):
                     shutil.rmtree(full, ignore_errors=True)
@@ -224,7 +256,12 @@ def main() -> None:
     # n=400k point swung 0.39 -> 1.44 s/iter purely from the GC/memory
     # pressure left behind by 111 queries (isolated re-run: 0.43).
     km = bench_kmeans_iteration(spark)
-    km4 = bench_kmeans_iteration(spark, BENCH_N_LARGE, methods=("arrow",))
+    # 400k point: median-of-5 (VERDICT r6 item 3 — the 3-run mllib spread
+    # was 2.4x; with the pre-run GC plus two extra repeats the median is
+    # stable and the recorded spread reflects steady state)
+    km4 = bench_kmeans_iteration(
+        spark, BENCH_N_LARGE, methods=("arrow",), repeats=5
+    )
 
     # Warm column = min over the runs AFTER the first (steady state: the
     # first run absorbs one-off costs — artifact builds, shuffle file
@@ -261,8 +298,14 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
-        "metric": "kmeans_sec_per_iteration_n100k",
+        # headline = the engine's own Arrow dataflow (assign -> CF agg),
+        # the recommended production fit path; the expression-oracle and
+        # MLlib numbers ride alongside so no reader has to guess which
+        # path "value" is (VERDICT r6 item 3: 0.325 matched neither label)
+        "metric": "kmeans_sec_per_iteration_n100k_arrow",
         "value": round(km["arrow"]["sec_per_iter"], 3),
+        "value_expr": round(km["expr"]["sec_per_iter"], 3),
+        "value_mllib": round(km["mllib"]["sec_per_iter"], 3),
         "unit": "sec",
         "queries": per_query,
         "queries_cold": per_query_cold,

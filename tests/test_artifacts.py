@@ -190,3 +190,57 @@ def test_locked_rebuild_replaces_mismatched_meta(tmp_path):
     A._locked_rebuild(root, data, meta, want, lambda: _FakeDF(built))
     assert built == [data]
     assert A._meta_is(meta, data, want)
+
+
+def test_clear_artifact_cache_matches_known_names_and_exact_tag(tmp_path):
+    """bench.clear_artifact_cache must only delete scratch entries of the
+    known name families carrying EXACTLY the requested sf_dir's tag
+    (ADVICE r6: bare endswith(tag) also cleared a different sf_dir whose
+    sanitized tag had this tag as a suffix)."""
+    import bench
+    from k_means_in_mapreduce_spark.artifacts import scratch_tag
+
+    sf_dir = "/bench_test_zone/data/sf1"
+    tag = scratch_tag(sf_dir)
+    tmp = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)), ".tmp")
+    os.makedirs(tmp, exist_ok=True)
+
+    doomed = [
+        f"art_pairs{tag}",            # artifact family
+        f"bkt_orders{tag}.fingerprint",  # bucketed-copy marker
+        f"ivf_index{tag}",            # fixed name, exact tag
+        f"centroids_text{tag}",
+    ]
+    survivors = [
+        f"unrelated{tag}",            # not a scratch family name
+        f"ivf_indexx{tag}",           # fixed name must match exactly
+        # a DIFFERENT sf_dir (/other/bench_test_zone/data/sf1) whose tag
+        # has ours as a suffix, behind a fixed-name entry: the old
+        # endswith(tag) deleted this
+        "centroids_text_other" + tag,
+        f"art_pairs{tag}_trailing",   # tag must terminate the entry
+    ]
+    try:
+        for name in doomed + survivors:
+            if name.endswith(".fingerprint"):
+                with open(os.path.join(tmp, name), "w"):
+                    pass
+            else:
+                os.makedirs(os.path.join(tmp, name), exist_ok=True)
+
+        removed = bench.clear_artifact_cache(sf_dir)
+
+        assert removed == len(doomed)
+        for name in doomed:
+            assert not os.path.exists(os.path.join(tmp, name)), name
+        for name in survivors:
+            assert os.path.exists(os.path.join(tmp, name)), name
+    finally:
+        import shutil
+
+        for name in doomed + survivors:
+            full = os.path.join(tmp, name)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif os.path.exists(full):
+                os.remove(full)
