@@ -257,8 +257,12 @@ def main() -> None:
     # pressure left behind by 111 queries (isolated re-run: 0.43).
     km = bench_kmeans_iteration(spark)
     # 400k point: median-of-5 (VERDICT r6 item 3 — the 3-run mllib spread
-    # was 2.4x; with the pre-run GC plus two extra repeats the median is
-    # stable and the recorded spread reflects steady state)
+    # was 2.4x). The pre-run GC + extra repeats stabilized the MEDIAN
+    # (mllib_400k median fit 9.0 -> 1.75 s); the recorded min..max spread
+    # remains box-bound: isolated experiments swung the same fit 1.7-6.3 s
+    # within minutes regardless of driver memory (8g vs 16g) or a GC
+    # settle sleep, so the spread list is reported as-is and the median
+    # is the comparable number.
     km4 = bench_kmeans_iteration(
         spark, BENCH_N_LARGE, methods=("arrow",), repeats=5
     )
