@@ -123,3 +123,25 @@ def test_priority_override_names_are_all_registered():
     so this test is the loud tripwire."""
     missing = set(gl.PRIORITY_OVERRIDE) - set(registry.QUERIES)
     assert not missing, sorted(missing)
+
+
+def test_out_of_cone_modules_stay_out_of_every_query_fingerprint():
+    """Editing cli.py / gate_ledger.py / bench-adjacent modules must NEVER
+    flip registry queries to changed-since-green: the per-round gate
+    window (~50 of 106 queries) can only drain the backlog if rounds can
+    fix CLI/tooling issues without touching the fingerprint cone. An
+    accidental `import ...cli` from an operator module would silently
+    put every query's green row at risk — this is the tripwire."""
+    cone = set()
+    for fn in registry.QUERIES.values():
+        cone.update(gl.transitive_files(fn.__module__))
+    for banned in (
+        "k_means_in_mapreduce_spark/cli.py",
+        "k_means_in_mapreduce_spark/__main__.py",
+        "k_means_in_mapreduce_spark/gate_ledger.py",
+    ):
+        assert banned not in cone, (
+            f"{banned} entered the fingerprint cone — some query module "
+            "now (transitively) imports it; editing it would flip every "
+            "dependent query to changed-since-green"
+        )
