@@ -179,6 +179,35 @@ def bench_kmeans_iteration(
     return out
 
 
+def scratch_entry_pattern(tag: str):
+    """Compiled matcher for .tmp scratch entries belonging to the sf_dir
+    with sanitized ``tag`` — the known scratch-name families anchored to
+    the EXACT tag (ADVICE r6: bare entry.endswith(tag) also deletes a
+    different sf_dir whose sanitized tag has this tag as a suffix, e.g.
+    /data/sf1 clearing /other/data/sf1). The fixed names match exactly,
+    closing the hazard for them outright. art_/bkt_ entries carry a
+    variable middle, so for those the collision narrows to another sf_dir
+    whose path ends with this sf_dir's full path (its extra prefix is
+    then absorbed by the name wildcard) — full disambiguation needs a
+    delimiter in artifacts.scratch_tag's on-disk naming, deferred to a
+    round where the operator fingerprint cone flips anyway.
+
+    A tripwire test (tests/test_artifacts.py) enumerates the package's
+    actual ``_scratch(sf_dir, ...)`` call sites against this pattern, so
+    a new scratch family added without extending it fails CI instead of
+    silently corrupting the bench's cold column (its first run would time
+    a warm serve of last run's artifact)."""
+    import re
+
+    return re.compile(
+        r"^(?:art_[A-Za-z0-9_]+|bkt_[A-Za-z0-9_]+|ivf_index|centroids_text"
+        r"|orders_csv|events_json|orders_part|lineitem_orc"
+        r"|orders_corrupt_csv|points_text)"
+        + re.escape(tag)
+        + r"(?:\.fingerprint)?$"
+    )
+
+
 def clear_artifact_cache(sf_dir: str) -> int:
     """Delete EVERY fingerprint-keyed scratch entry for this sf_dir (the
     `art_*` artifacts, the persisted IVF index, bucketed table copies and
@@ -188,29 +217,11 @@ def clear_artifact_cache(sf_dir: str) -> int:
     per-ARTIFACT, not per-query: when several queries share one artifact
     (e.g. the Jaccard pair list), only the first consumer's first run
     pays the build; later consumers' "cold" rows time a warm serve."""
-    import re
     import shutil
 
     from k_means_in_mapreduce_spark.artifacts import scratch_tag
 
-    tag = scratch_tag(sf_dir)
-    # Anchor on the known scratch-name families + the EXACT tag (ADVICE
-    # r6: bare entry.endswith(tag) also deletes a different sf_dir whose
-    # sanitized tag has this tag as a suffix, e.g. /data/sf1 clearing
-    # /other/data/sf1). The fixed names now match exactly, closing the
-    # hazard for them outright. art_/bkt_ entries carry a variable
-    # middle, so for those the collision narrows to another sf_dir whose
-    # path ends with this sf_dir's full path (its extra prefix is then
-    # absorbed by the name wildcard) — full disambiguation needs a
-    # delimiter in artifacts.scratch_tag's on-disk naming, deferred to a
-    # round where the operator fingerprint cone flips anyway.
-    pat = re.compile(
-        r"^(?:art_[A-Za-z0-9_]+|bkt_[A-Za-z0-9_]+|ivf_index|centroids_text"
-        r"|orders_csv|events_json|orders_part|lineitem_orc"
-        r"|orders_corrupt_csv|points_text)"
-        + re.escape(tag)
-        + r"(?:\.fingerprint)?$"
-    )
+    pat = scratch_entry_pattern(scratch_tag(sf_dir))
     tmp = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp")
     removed = 0
     if os.path.isdir(tmp):
@@ -331,8 +342,9 @@ def main() -> None:
             "sec_per_iter_arrow": round(km4["arrow"]["sec_per_iter"], 3),
             "sec_per_iter_mllib": round(km4["mllib"]["sec_per_iter"], 3),
         },
-        # per-method wall-clock spreads (sorted, BENCH_REPEATS fits each)
-        # so variance is visible next to the medians
+        # per-method wall-clock spreads (sorted; BENCH_REPEATS fits for
+        # the 100k entries, 5 for the 400k ones) so variance is visible
+        # next to the medians
         "kmeans_spreads": {
             "arrow_100k": km["arrow"]["spread"],
             "expr_100k": km["expr"]["spread"],

@@ -132,6 +132,42 @@ def _run_fit(
 
     from .operators.kmeans_df import KMeansConfig, fit
 
+    # --fidelity pre-flight, BEFORE any Spark work: every pre-existing
+    # local <output><i> dir will either be overwrite-written (i <= final
+    # iteration count) or swept (stale from a longer previous run) — both
+    # destroy it. Refuse up front unless each looks like a previous run's
+    # centroid output (_SUCCESS / part-* files), so an unrelated user
+    # directory matching the numeric-suffix naming is never clobbered and
+    # the failure costs nothing (the reference likewise fails on existing
+    # output before running, KMeans.java:139-146).
+    if fidelity and "://" not in out:
+        # the touchable index set: overwrite reaches every i <= the final
+        # iteration count (<= max_iter) even across gaps; the stale sweep
+        # then walks CONTIGUOUSLY from final+1 — so scan 1..max_iter plus
+        # the contiguous run beyond it, and nothing else (a dir like
+        # <out>2024 beyond a gap is untouched and must not block the run)
+        def _looks_like_run_output(path: str) -> bool:
+            entries = os.listdir(path)
+            return "_SUCCESS" in entries or any(
+                e.startswith("part-") for e in entries
+            )
+
+        i = 1
+        while i <= max_iter or os.path.isdir(f"{out.rstrip('/')}{i}"):
+            existing = f"{out.rstrip('/')}{i}"
+            if os.path.isdir(existing) and not _looks_like_run_output(
+                existing
+            ):
+                print(
+                    f"--fidelity: refusing to run: {existing!r} exists "
+                    "and does not look like a previous run's centroid "
+                    "output (no _SUCCESS/part-* files) — it would be "
+                    "overwritten or swept; remove or rename it first",
+                    file=sys.stderr,
+                )
+                return 1
+            i += 1
+
     # Fail fast like the reference (NumberFormatException kills the job,
     # KMeans.java:269): wrong arity OR any non-numeric token. The parser's
     # element-wise cast turns a bad token into a NULL element that would

@@ -297,28 +297,41 @@ def incorporate_correctness(ledger: dict, repo_root: str = REPO_ROOT) -> list[st
     return added
 
 
+def query_tier(
+    name: str, registry_queries: dict, entries: dict
+) -> tuple[int, int | None]:
+    """The gate tier of one query against ``entries`` (a ledger's
+    ``queries`` dict): 0 = never driver-checked, 1 = changed-since-green
+    (current working-tree fingerprint differs from the at-green one),
+    2 = current-green — plus the last-checked round (None if never).
+    The single definition of tiering, shared by :func:`derive_order` and
+    ``tools/stale_report.py`` so the report can never silently disagree
+    with the order the driver actually uses."""
+    row = entries.get(name)
+    if row is None:
+        return 0, None
+    fn = registry_queries[name]
+    if _WORKING_TREE.module_fingerprint(fn.__module__) != row.get(
+        "fingerprint"
+    ):
+        return 1, row.get("last_checked_round")
+    return 2, row.get("last_checked_round")
+
+
 def derive_order(registry_queries: dict) -> list[str]:
     """Gate-window ordering: never-checked, changed-since-green, then
-    oldest-green first; registration order breaks ties."""
+    oldest-green first; registration order breaks ties. Within the
+    changed-since-green tier, oldest green ALSO comes first — when shared
+    deps churn (flipping most queries to that tier) the bounded window
+    must still rotate through the whole registry across rounds instead of
+    re-gating the same registration-order prefix forever."""
     ledger = load_ledger()
     entries = ledger.get("queries", {})
     reg_pos = {n: i for i, n in enumerate(registry_queries)}
 
     def rank(name: str) -> tuple:
-        row = entries.get(name)
-        if row is None:
-            return (0, 0, reg_pos[name])  # never driver-checked
-        fn = registry_queries[name]
-        if _WORKING_TREE.module_fingerprint(fn.__module__) != row.get(
-            "fingerprint"
-        ):
-            # changed since last check; oldest green FIRST — when shared
-            # deps churn (flipping most queries to this tier) the bounded
-            # window must still rotate through the whole registry across
-            # rounds instead of re-gating the same registration-order
-            # prefix forever
-            return (1, row.get("last_checked_round", 0), reg_pos[name])
-        return (2, row.get("last_checked_round", 0), reg_pos[name])
+        tier, rnd = query_tier(name, registry_queries, entries)
+        return (tier, rnd if rnd is not None else 0, reg_pos[name])
 
     return sorted(registry_queries, key=rank)
 

@@ -244,3 +244,69 @@ def test_clear_artifact_cache_matches_known_names_and_exact_tag(tmp_path):
                 shutil.rmtree(full, ignore_errors=True)
             elif os.path.exists(full):
                 os.remove(full)
+
+
+def test_scratch_entry_pattern_covers_every_scratch_call_site():
+    """Tripwire (r7 review): bench.scratch_entry_pattern hardcodes the
+    scratch-name families; a NEW `_scratch(sf_dir, ...)` family added in
+    any package module without extending the pattern would silently stop
+    being cleared before bench runs — the 'cold' column for its consumer
+    query would then time a warm parquet serve. Walk every call site's
+    AST and require the pattern to match a concrete sample entry name."""
+    import ast
+
+    import bench
+
+    pkg_root = os.path.dirname(os.path.abspath(A.__file__))
+    tag = "_sample_tag"
+    pat = bench.scratch_entry_pattern(tag)
+
+    def sample_name(node):
+        # literal: "ivf_index"; f-string: f"art_{name}" -> "art_sample"
+        if isinstance(node, ast.Constant) and isinstance(node.value, str):
+            return node.value
+        if isinstance(node, ast.JoinedStr):
+            parts = []
+            for v in node.values:
+                if isinstance(v, ast.Constant):
+                    parts.append(str(v.value))
+                else:
+                    parts.append("sample")
+            return "".join(parts)
+        return None
+
+    call_sites = []
+    for dirpath, dirs, files in os.walk(pkg_root):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, fn)
+            with open(full, encoding="utf-8") as fh:
+                tree = ast.parse(fh.read())
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                    and node.func.id == "_scratch"
+                    and len(node.args) >= 2
+                ):
+                    name = sample_name(node.args[1])
+                    assert name is not None, (
+                        f"{full}:{node.lineno}: _scratch name is not a "
+                        "string literal/f-string — the bench tripwire "
+                        "can't derive a sample; use a literal or extend "
+                        "this test"
+                    )
+                    call_sites.append((full, node.lineno, name))
+
+    assert call_sites, "no _scratch call sites found — walker broken?"
+    for full, lineno, name in call_sites:
+        entry = f"{name}{tag}"
+        assert pat.match(entry), (
+            f"{full}:{lineno}: scratch family {name!r} is NOT covered by "
+            "bench.scratch_entry_pattern — extend the pattern or the "
+            "bench cold column silently degrades to warm for it"
+        )
+        # bucketed-table markers persist as <entry>.fingerprint files
+        assert pat.match(entry + ".fingerprint"), (full, lineno, name)

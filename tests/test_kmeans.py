@@ -301,11 +301,14 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
     assert not os.path.isdir(f"{out2}1")
 
 
-def test_cli_fidelity_sweep_refuses_unrelated_dirs(spark, tmp_path, capsys):
-    """The stale-dir sweep only deletes directories that look like a
-    previous run's centroid output (_SUCCESS / part-* files). An
-    unrelated user directory that happens to match the <output><N>
-    naming is preserved and the run fails loudly (ADVICE r6 medium)."""
+def test_cli_fidelity_refuses_unrelated_dirs_before_any_work(
+    spark, tmp_path, capsys
+):
+    """--fidelity only ever touches directories that look like a previous
+    run's centroid output (_SUCCESS / part-* files). An unrelated user
+    directory matching the <output><N> naming makes the run fail loudly
+    BEFORE any Spark work — nothing is fitted, written, or deleted
+    (ADVICE r6 medium + the r7 review's fail-fast refinement)."""
     import os
 
     from k_means_in_mapreduce_spark.cli import main
@@ -317,7 +320,7 @@ def test_cli_fidelity_sweep_refuses_unrelated_dirs(spark, tmp_path, capsys):
     write_points(emb, inp, "embedding")
 
     # an unrelated pre-existing dir matching the numeric-suffix naming:
-    # with max_iter=2 the sweep starts at <out>3 and must refuse it
+    # with max_iter=2 a previous longer run's sweep would start at <out>3
     unrelated = tmp_path / "res3"
     unrelated.mkdir()
     (unrelated / "precious.txt").write_text("user data")
@@ -325,4 +328,21 @@ def test_cli_fidelity_sweep_refuses_unrelated_dirs(spark, tmp_path, capsys):
     assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 1
     assert unrelated.is_dir()
     assert (unrelated / "precious.txt").read_text() == "user data"
-    assert "refusing to remove" in capsys.readouterr().err
+    assert "refusing to run" in capsys.readouterr().err
+    # fail-fast: the refusal must land before the fit writes anything
+    assert not os.path.exists(out)
+    assert not os.path.exists(f"{out}1")
+
+    # user resolves the conflict; re-run must now succeed
+    import shutil
+
+    shutil.rmtree(unrelated)
+
+    # a dir beyond a GAP above max_iter is untouchable by overwrite (only
+    # reaches i <= max_iter) and by the sweep (contiguous walk) — it must
+    # NOT block the run, and must survive it
+    backup = tmp_path / "res2024"
+    backup.mkdir()
+    (backup / "precious.txt").write_text("year-stamped backup")
+    assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 0
+    assert (backup / "precious.txt").read_text() == "year-stamped backup"

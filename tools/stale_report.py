@@ -21,16 +21,6 @@ from k_means_in_mapreduce_spark import registry  # noqa: E402
 TIER_NAMES = {0: "never-checked", 1: "changed-since-green", 2: "current-green"}
 
 
-def tier_of(name: str, entries: dict) -> tuple[int, int | None]:
-    row = entries.get(name)
-    if row is None:
-        return 0, None
-    fn = registry.QUERIES[name]
-    cur = gl.module_fingerprint(fn.__module__)
-    t = 1 if cur != row.get("fingerprint") else 2
-    return t, row.get("last_checked_round")
-
-
 def main() -> None:
     head = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     entries = gl.load_ledger().get("queries", {})
@@ -38,7 +28,7 @@ def main() -> None:
     tiers = collections.Counter()
     info = {}
     for name in order:
-        t, rnd = tier_of(name, entries)
+        t, rnd = gl.query_tier(name, registry.QUERIES, entries)
         tiers[t] += 1
         info[name] = (t, rnd)
     total = len(order)
