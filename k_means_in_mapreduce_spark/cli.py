@@ -254,14 +254,35 @@ def _run_fit(
 
     report = model.report()
     report.update({"input": inp, "output": out, "seed": seed, "method": method})
-    with open(os.path.join(out, "_run_report.json"), "w") as fh:
+    # os-level writes can't address a URI output (hdfs://, s3a://): the
+    # centroids land remotely via the Spark writer, but the report and
+    # cumulative log fall back to the CURRENT WORKING DIRECTORY — which
+    # is where the reference keeps outputsLog.txt anyway (it appends in
+    # its working dir, KMeans.java:189-193)
+    is_uri = "://" in out
+    if is_uri:
+        report_dir = os.getcwd()
+        print(
+            f"output is a URI; writing _run_report.json and "
+            f"outputsLog.txt to the working directory {report_dir!r}",
+            file=sys.stderr,
+        )
+    else:
+        report_dir = out
+    with open(os.path.join(report_dir, "_run_report.json"), "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
     # the reference's cumulative outputsLog.txt (KMeans.java:119-127,
     # 189-193): append OUTSIDE the output dir — the overwrite text sink
     # wipes <output> at the start of every run, so a log inside it could
-    # never accumulate across runs
-    log_path = os.path.join(
-        os.path.dirname(os.path.abspath(out.rstrip("/"))), "outputsLog.txt"
+    # never accumulate across runs (for a URI output both files already
+    # live in the working dir, beside nothing that gets wiped)
+    log_path = (
+        os.path.join(report_dir, "outputsLog.txt")
+        if is_uri
+        else os.path.join(
+            os.path.dirname(os.path.abspath(out.rstrip("/"))),
+            "outputsLog.txt",
+        )
     )
     with open(log_path, "a") as fh:
         fh.write(

@@ -346,3 +346,41 @@ def test_cli_fidelity_refuses_unrelated_dirs_before_any_work(
     (backup / "precious.txt").write_text("year-stamped backup")
     assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 0
     assert (backup / "precious.txt").read_text() == "year-stamped backup"
+
+
+def test_cli_uri_output_writes_report_to_working_dir(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """A URI output (hdfs://, s3a://, file://) is reachable by the Spark
+    writer but not by os-level open(): the centroids land at the URI and
+    the report/log fall back to the working directory — where the
+    reference keeps outputsLog.txt anyway — instead of crashing after a
+    successful fit. The --fidelity stale sweep is skipped with a warning
+    (local paths only)."""
+    import json
+    import os
+
+    from k_means_in_mapreduce_spark.cli import main
+    from k_means_in_mapreduce_spark.sources.text_points import write_points
+
+    inp = str(tmp_path / "pts")
+    emb = load_table(spark, SF0001, "embeddings").limit(100)
+    write_points(emb, inp, "embedding")
+
+    workdir = tmp_path / "wd"
+    workdir.mkdir()
+    monkeypatch.chdir(workdir)
+    out = f"file://{tmp_path}/cents_uri"
+
+    assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 0
+
+    # centroids reached the URI target via the Spark writer
+    assert (tmp_path / "cents_uri" / "_SUCCESS").exists()
+    assert (tmp_path / "cents_uri1").is_dir()  # per-iteration snapshot
+    # report + cumulative log landed in the working directory
+    report = json.loads((workdir / "_run_report.json").read_text())
+    assert report["output"] == out and report["iterations"] == 2
+    assert "k=3" in (workdir / "outputsLog.txt").read_text()
+    err = capsys.readouterr().err
+    assert "output is a URI" in err
+    assert "are NOT swept" in err
