@@ -321,6 +321,12 @@ def main() -> None:
         "value": round(km["arrow"]["sec_per_iter"], 3),
         "value_expr": round(km["expr"]["sec_per_iter"], 3),
         "value_mllib": round(km["mllib"]["sec_per_iter"], 3),
+        # DEPRECATED alias (one transition round, ADVICE r7): r1-r6
+        # snapshots used the unsuffixed metric name; any diff keyed on it
+        # keeps resolving while consumers move to the labeled key above
+        "kmeans_sec_per_iteration_n100k": round(
+            km["arrow"]["sec_per_iter"], 3
+        ),
         "unit": "sec",
         "queries": per_query,
         "queries_cold": per_query_cold,

@@ -143,30 +143,52 @@ def _run_fit(
     if fidelity and "://" not in out:
         # the touchable index set: overwrite reaches every i <= the final
         # iteration count (<= max_iter) even across gaps; the stale sweep
-        # then walks CONTIGUOUSLY from final+1 — so scan 1..max_iter plus
-        # the contiguous run beyond it, and nothing else (a dir like
-        # <out>2024 beyond a gap is untouched and must not block the run)
+        # then walks CONTIGUOUSLY from final+1 — so the indices to vet are
+        # 1..max_iter plus the contiguous run beyond it, and nothing else
+        # (a dir like <out>2024 beyond a gap is untouched and must not
+        # block the run). List the parent directory ONCE and intersect
+        # with that set — a per-index isdir() loop would stat max_iter
+        # paths and stall the CLI for a large max_iter before any work.
         def _looks_like_run_output(path: str) -> bool:
             entries = os.listdir(path)
             return "_SUCCESS" in entries or any(
                 e.startswith("part-") for e in entries
             )
 
-        i = 1
-        while i <= max_iter or os.path.isdir(f"{out.rstrip('/')}{i}"):
-            existing = f"{out.rstrip('/')}{i}"
-            if os.path.isdir(existing) and not _looks_like_run_output(
-                existing
-            ):
+        import re
+
+        base_path = out.rstrip("/")
+        parent = os.path.dirname(os.path.abspath(base_path)) or os.sep
+        base = os.path.basename(base_path)
+        try:
+            siblings = os.listdir(parent)
+        except OSError:
+            siblings = []  # parent doesn't exist yet: nothing to clobber
+        # the run only ever touches '<base><i>' with i rendered by str(int)
+        # — no leading zeros, no index 0 — so 'out007'/'out0' never match
+        suffix_re = re.compile(re.escape(base) + r"([1-9][0-9]*)$")
+        existing = {
+            int(m.group(1))
+            for e in siblings
+            if (m := suffix_re.fullmatch(e))
+            and os.path.isdir(os.path.join(parent, e))
+        }
+        touchable = {n for n in existing if n <= max_iter}
+        n = max_iter + 1
+        while n in existing:  # the sweep's contiguous walk past max_iter
+            touchable.add(n)
+            n += 1
+        for i in sorted(touchable):
+            path = f"{base_path}{i}"
+            if not _looks_like_run_output(path):
                 print(
-                    f"--fidelity: refusing to run: {existing!r} exists "
+                    f"--fidelity: refusing to run: {path!r} exists "
                     "and does not look like a previous run's centroid "
                     "output (no _SUCCESS/part-* files) — it would be "
                     "overwritten or swept; remove or rename it first",
                     file=sys.stderr,
                 )
                 return 1
-            i += 1
 
     # Fail fast like the reference (NumberFormatException kills the job,
     # KMeans.java:269): wrong arity OR any non-numeric token. The parser's
@@ -198,6 +220,7 @@ def _run_fit(
 
     # final centroids in the reference's TextOutputFormat shape
     _write_centroid_text(spark, model.centroids, out)
+    sweep_refused = False
     if fidelity:
         # one directory per completed update iteration, 1-based like the
         # reference's `output + iter` (KMeans.java:148). Empty-cluster
@@ -241,14 +264,23 @@ def _run_fit(
                 entries = os.listdir(stale)
                 if not ("_SUCCESS" in entries
                         or any(e.startswith("part-") for e in entries)):
+                    # the dir appeared between pre-flight and here (TOCTOU)
+                    # — the fit already succeeded and the centroids +
+                    # per-iteration dirs are on disk, so don't abandon the
+                    # run report/log: warn, skip the sweep, and exit
+                    # non-zero at the end so the stale dirs get attention
                     print(
                         f"--fidelity: refusing to remove {stale!r}: it "
                         "does not look like a previous run's centroid "
                         "output (no _SUCCESS/part-* files); remove or "
-                        "rename it manually",
+                        "rename it manually. The fit succeeded and its "
+                        "centroid outputs were already written; "
+                        "_run_report.json/outputsLog.txt follow, but "
+                        "stale higher-numbered dirs remain unswept",
                         file=sys.stderr,
                     )
-                    return 1
+                    sweep_refused = True
+                    break
                 shutil.rmtree(stale)
                 i += 1
 
@@ -291,4 +323,4 @@ def _run_fit(
             f"final_movement={report['final_movement']} "
             f"wall_sec={report['wall_sec']:.3f}\n"
         )
-    return 0
+    return 1 if sweep_refused else 0

@@ -284,11 +284,21 @@ def test_scratch_entry_pattern_covers_every_scratch_call_site():
             full = os.path.join(dirpath, fn)
             with open(full, encoding="utf-8") as fh:
                 tree = ast.parse(fh.read())
+            def _is_scratch_func(func):
+                # bare name `_scratch(...)` or attribute form like
+                # `artifacts._scratch(...)` — both are real call sites;
+                # matching only ast.Name would let the attribute form
+                # silently bypass this tripwire (ADVICE r7 low)
+                if isinstance(func, ast.Name):
+                    return func.id == "_scratch"
+                if isinstance(func, ast.Attribute):
+                    return func.attr == "_scratch"
+                return False
+
             for node in ast.walk(tree):
                 if (
                     isinstance(node, ast.Call)
-                    and isinstance(node.func, ast.Name)
-                    and node.func.id == "_scratch"
+                    and _is_scratch_func(node.func)
                     and len(node.args) >= 2
                 ):
                     name = sample_name(node.args[1])
@@ -310,3 +320,78 @@ def test_scratch_entry_pattern_covers_every_scratch_call_site():
         )
         # bucketed-table markers persist as <entry>.fingerprint files
         assert pat.match(entry + ".fingerprint"), (full, lineno, name)
+
+
+def test_scratch_entry_pattern_adversarial_suffix_dirs():
+    """Property (VERDICT r7 #6): pin scratch_entry_pattern's exact
+    collision boundary against adversarial sf_dir pairs where one path is
+    a path-suffix of the other (/data/sf1 vs /other/data/sf1 — their
+    sanitized tags share a suffix).
+
+    Pinned narrowed behavior (r6 fix): FIXED-name families never cross
+    tags in either direction, and neither do variable art_/bkt_ entries
+    when the overlap lacks the leading path boundary. Pinned RESIDUAL
+    (documented in scratch_entry_pattern's docstring): an art_/bkt_ entry
+    tagged with the LONGER tag still matches the shorter tag's pattern,
+    because the variable name wildcard absorbs the extra path prefix —
+    the r9 delimiter change in artifacts._scratch's on-disk naming must
+    flip exactly the two assertions marked RESIDUAL below to not-match."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import bench
+    from k_means_in_mapreduce_spark.artifacts import scratch_tag
+
+    FIXED = (
+        "ivf_index", "centroids_text", "orders_csv", "events_json",
+        "orders_part", "lineitem_orc", "orders_corrupt_csv", "points_text",
+    )
+    seg = st.text(alphabet="abxz059.-", min_size=1, max_size=8)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        inner=st.lists(seg, min_size=1, max_size=3),
+        extra=st.lists(seg, min_size=1, max_size=2),
+    )
+    def run(inner, extra):
+        a = "/" + "/".join(inner)
+        b = "/" + "/".join(extra) + a  # b's path ends with a's FULL path
+        tag_a, tag_b = scratch_tag(a), scratch_tag(b)
+        assert tag_b.endswith(tag_a) and tag_b != tag_a
+        pat_a, pat_b = (
+            bench.scratch_entry_pattern(tag_a),
+            bench.scratch_entry_pattern(tag_b),
+        )
+
+        for fam in FIXED:
+            # own tag always matches (dir + bucket marker forms)
+            assert pat_a.match(f"{fam}{tag_a}")
+            assert pat_a.match(f"{fam}{tag_a}.fingerprint")
+            # fixed names never cross tags, in either direction
+            assert not pat_a.match(f"{fam}{tag_b}")
+            assert not pat_b.match(f"{fam}{tag_a}")
+
+        # variable families: own tag matches; the shorter tag never
+        # matches into the longer tag's pattern (the end anchor needs
+        # tag_b, which 'pairs'/'orders' can't supply)
+        assert pat_a.match(f"art_pairs{tag_a}")
+        assert pat_a.match(f"bkt_orders{tag_a}.fingerprint")
+        assert not pat_b.match(f"art_pairs{tag_a}")
+        assert not pat_b.match(f"bkt_orders{tag_a}")
+
+        # RESIDUAL: the longer tag's entry matches the shorter tag's
+        # pattern — the [A-Za-z0-9_]+ name wildcard absorbs b's extra
+        # path prefix. Flip both to `not ...match` when artifacts._scratch
+        # gains a name/tag delimiter (planned r9 cone-flip round).
+        assert pat_a.match(f"art_pairs{tag_b}")
+        assert pat_a.match(f"bkt_orders{tag_b}.fingerprint")
+
+        # string-suffix WITHOUT the path boundary (/zdata/sf1 vs
+        # /data/sf1 style): no leading '_' survives sanitization at the
+        # join, so neither fixed nor variable families cross
+        c = "/" + "".join(extra) + inner[0]  # first segment glued, no '/'
+        tag_c = scratch_tag(c)
+        if tag_c != tag_a and not tag_c.endswith(tag_a):
+            assert not pat_a.match(f"art_pairs{tag_c}")
+
+    run()

@@ -384,3 +384,74 @@ def test_cli_uri_output_writes_report_to_working_dir(
     err = capsys.readouterr().err
     assert "output is a URI" in err
     assert "are NOT swept" in err
+
+
+def test_cli_fidelity_toctou_refusal_still_writes_report(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """An unrelated dir that appears BETWEEN the pre-flight vet and the
+    stale sweep (TOCTOU) makes the sweep refuse — but the fit already
+    succeeded and its centroid outputs are on disk, so the run report and
+    cumulative log must still be written; exit 1 flags the unswept dirs
+    (ADVICE r7: a bare failure exit with partial outputs read as a total
+    failure)."""
+    import json
+    import os
+
+    from k_means_in_mapreduce_spark.cli import main
+    from k_means_in_mapreduce_spark.operators import kmeans_df
+    from k_means_in_mapreduce_spark.sources.text_points import write_points
+
+    inp = str(tmp_path / "pts")
+    out = str(tmp_path / "res")
+    emb = load_table(spark, SF0001, "embeddings").limit(100)
+    write_points(emb, inp, "embedding")
+
+    real_fit = kmeans_df.fit
+
+    def fit_then_plant(*a, **kw):
+        model = real_fit(*a, **kw)
+        # lands after pre-flight, before the sweep's contiguous walk
+        # (max_iter=2, tol=0 -> sweep starts at <out>3)
+        mid = tmp_path / "res3"
+        mid.mkdir()
+        (mid / "precious.txt").write_text("user data")
+        return model
+
+    monkeypatch.setattr(kmeans_df, "fit", fit_then_plant)
+
+    assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 1
+    err = capsys.readouterr().err
+    assert "refusing to remove" in err
+    assert "already written" in err
+    # the planted dir survives untouched
+    assert (tmp_path / "res3" / "precious.txt").read_text() == "user data"
+    # the successful fit's outputs + report + log all landed anyway
+    assert os.path.isdir(f"{out}1") and os.path.isdir(f"{out}2")
+    report = json.load(open(os.path.join(out, "_run_report.json")))
+    assert report["iterations"] == 2
+    assert "k=3" in (tmp_path / "outputsLog.txt").read_text()
+
+
+def test_cli_fidelity_preflight_is_listdir_not_per_index_stat(
+    spark, tmp_path
+):
+    """The pre-flight vet must cost one parent listdir, not one stat per
+    index up to max_iter (ADVICE r7: max_iter=10^9 stalled the CLI before
+    any work). With a huge max_iter and a large epsilon the run converges
+    after one iteration — it completes at all only if pre-flight doesn't
+    walk the index range."""
+    import os
+
+    from k_means_in_mapreduce_spark.cli import main
+    from k_means_in_mapreduce_spark.sources.text_points import write_points
+
+    inp = str(tmp_path / "pts")
+    out = str(tmp_path / "res")
+    emb = load_table(spark, SF0001, "embeddings").limit(100)
+    write_points(emb, inp, "embedding")
+
+    assert main(
+        [inp, "3", "1000000000", out, "64", "1e12", "2", "--fidelity"]
+    ) == 0
+    assert os.path.isdir(f"{out}1")
