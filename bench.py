@@ -51,7 +51,10 @@ BENCH_N = 100_000  # reference benchmark scale (BASELINE.md, Fig 3.1/3.5)
 BENCH_N_LARGE = 400_000
 BENCH_K = 4
 BENCH_ITERS = 5
-BENCH_REPEATS = 3  # median-of-3 per method; see comment in bench_kmeans_iteration
+# median-of-5 per method (was 3; the r8 box showed a uniform ~1.3x
+# slow-phase across all 111 queries and a median-of-3 headline is one bad
+# draw away from overstating it) — see comment in bench_kmeans_iteration
+BENCH_REPEATS = 5
 
 
 def make_spark():
@@ -348,9 +351,9 @@ def main() -> None:
             "sec_per_iter_arrow": round(km4["arrow"]["sec_per_iter"], 3),
             "sec_per_iter_mllib": round(km4["mllib"]["sec_per_iter"], 3),
         },
-        # per-method wall-clock spreads (sorted; BENCH_REPEATS fits for
-        # the 100k entries, 5 for the 400k ones) so variance is visible
-        # next to the medians
+        # per-method wall-clock spreads (sorted; BENCH_REPEATS fits per
+        # 100k entry, 5 per 400k one) so variance is visible next to the
+        # medians
         "kmeans_spreads": {
             "arrow_100k": km["arrow"]["spread"],
             "expr_100k": km["expr"]["spread"],
