@@ -28,6 +28,15 @@ the reference's unseeded ``Random`` makes runs unrepeatable), exactly
 ``while (iter < MAX_ITER)`` runs at most ``max_iter - 1``), and the final
 centroids are written once instead of one directory per iteration (the
 per-iteration text feedback loop dissolves into driver state).
+
+``--fidelity`` restores the reference's per-iteration ``<output><i>``
+directories, with one further documented delta: ``i`` numbers COMPLETED
+UPDATE iterations. An empty-cluster re-init iteration (C4) produces no
+centroid snapshot, so it gets no directory and shifts the numbering
+relative to a reference run that hit the same event — the CLI warns on
+stderr when that happens (true-raw-index numbering would need
+per-iteration event metadata from the fit loop; the update-step indexing
+is stable and is what a centroid-trajectory diff wants).
 """
 
 from __future__ import annotations
