@@ -1,0 +1,75 @@
+"""tools/bench_diff.py: round-over-round snapshot comparison (no Spark)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+sys.path.insert(0, TOOLS)
+
+import bench_diff  # noqa: E402
+
+
+def _snap(queries, **extra):
+    return {
+        "metric": "kmeans_sec_per_iteration_n100k_arrow",
+        "value": extra.pop("value", 0.3),
+        "queries": queries,
+        "total_query_sec": sum(v for v in queries.values() if v > 0),
+        **extra,
+    }
+
+
+def test_diff_median_ratio_and_rankings():
+    old = _snap({"a": 1.0, "b": 2.0, "c": 0.5, "tiny": 0.01}, value=0.25)
+    new = _snap({"a": 2.0, "b": 2.0, "c": 0.25, "tiny": 0.04}, value=0.30)
+    d = bench_diff.diff(old, new)
+    # ratios: a=2.0, b=1.0, c=0.5, tiny=4.0 -> median of [0.5,1,2,4] = 1.5
+    assert d["median_warm_ratio"] == 1.5
+    assert d["n_shared"] == 4
+    # tiny is under MIN_SEC in both runs: excluded from the rankings
+    ranked = [k for k, _ in d["slowest_growth"]]
+    assert ranked[0] == "a" and "tiny" not in ranked
+    assert d["best_improvement"][0][0] == "c"
+    assert d["headline"] == {
+        "old": 0.25, "new": 0.30,
+        "metric": "kmeans_sec_per_iteration_n100k_arrow",
+    }
+
+
+def test_diff_excludes_errored_rows_and_reports_membership():
+    old = _snap({"a": 1.0, "gone": 0.2})
+    new = _snap({"a": 1.0, "fresh": 0.2, "broken": -1.0})
+    d = bench_diff.diff(old, new)
+    assert d["n_shared"] == 1  # only 'a'; -1 marks an errored row
+    assert d["errored_new"] == ["broken"]
+    assert d["added"] == ["broken", "fresh"]
+    assert d["removed"] == ["gone"]
+
+
+def test_load_snapshot_unwraps_driver_artifact(tmp_path):
+    raw = _snap({"a": 1.0})
+    plain = tmp_path / "plain.json"
+    plain.write_text(json.dumps(raw))
+    wrapped = tmp_path / "BENCH_rXX.json"
+    wrapped.write_text(json.dumps({"n": 1, "tail": "...", "parsed": raw}))
+    assert bench_diff.load_snapshot(str(plain))["queries"] == {"a": 1.0}
+    assert bench_diff.load_snapshot(str(wrapped))["queries"] == {"a": 1.0}
+    null_parsed = tmp_path / "null.json"
+    null_parsed.write_text(json.dumps({"parsed": None}))
+    with pytest.raises(SystemExit):
+        bench_diff.load_snapshot(str(null_parsed))
+
+
+def test_cli_survives_closed_stdout_pipe():
+    """`bench_diff | head -1` must exit 0, not BrokenPipeError-spam."""
+    proc = subprocess.run(
+        f"{sys.executable} {TOOLS}/bench_diff.py | head -1",
+        shell=True, capture_output=True, text=True,
+        cwd=os.path.dirname(TOOLS),
+    )
+    assert proc.returncode == 0
+    assert "Traceback" not in proc.stderr

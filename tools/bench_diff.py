@@ -1,0 +1,134 @@
+"""Round-over-round bench comparison: per-query ratios + headline deltas.
+
+Usage:
+    python tools/bench_diff.py [OLD.json] [NEW.json]
+
+With no arguments, compares the two newest ``.benchmarks/*_sf0.1.json``
+snapshots. Accepts either a raw bench snapshot (``BENCH_RESULT.json`` /
+``.benchmarks/*``) or a driver artifact (``BENCH_r{N}.json``, which wraps
+the snapshot under ``"parsed"`` — possibly with a truncated ``queries``
+summary, in which case only the overlapping rows are compared).
+
+The key output is the MEDIAN warm ratio across all shared query rows:
+this repo's queries are code-stable across most rounds, so a median far
+from 1.0 means the BOX was slower/faster, not the code — individual-row
+swings should be read against that baseline before chasing a
+"regression" (the r6→r8 MinHash swings were exactly this).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# rows slower than this many seconds in EITHER run are worth naming in
+# the ranked output; faster rows are pure noise at sf0.1
+MIN_SEC = 0.05
+
+
+def load_snapshot(path: str) -> dict:
+    with open(path) as fh:
+        doc = json.load(fh)
+    # driver artifact wrapper: {"n":..., "tail":..., "parsed": {...}}
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
+    if doc is None or "queries" not in doc:
+        raise SystemExit(f"{path}: no usable bench snapshot inside")
+    return doc
+
+
+def newest_two() -> tuple[str, str]:
+    snaps = sorted(glob.glob(os.path.join(REPO, ".benchmarks", "*_sf0.1.json")))
+    if len(snaps) < 2:
+        raise SystemExit("need two .benchmarks/*_sf0.1.json snapshots")
+    return snaps[-2], snaps[-1]
+
+
+def diff(old: dict, new: dict) -> dict:
+    qo, qn = old["queries"], new["queries"]
+    shared = [
+        k
+        for k in qn
+        if k in qo and qo[k] > 0 and qn[k] > 0  # -1 marks an errored row
+    ]
+    ratios = {k: qn[k] / qo[k] for k in shared}
+    sizable = {k: r for k, r in ratios.items() if max(qo[k], qn[k]) >= MIN_SEC}
+    ranked = sorted(sizable.items(), key=lambda kv: -kv[1])
+    med = statistics.median(ratios.values()) if ratios else float("nan")
+    return {
+        "headline": {
+            "old": old.get("value"),
+            "new": new.get("value"),
+            "metric": new.get("metric"),
+        },
+        "median_warm_ratio": round(med, 3),
+        "n_shared": len(shared),
+        "added": sorted(set(qn) - set(qo)),
+        "removed": sorted(set(qo) - set(qn)),
+        "errored_new": sorted(k for k, v in qn.items() if v < 0),
+        "slowest_growth": [(k, round(r, 2)) for k, r in ranked[:8]],
+        "best_improvement": [(k, round(r, 2)) for k, r in ranked[-8:][::-1]],
+        "total_warm": (old.get("total_query_sec"), new.get("total_query_sec")),
+        "total_cold": (
+            old.get("total_query_sec_cold"),
+            new.get("total_query_sec_cold"),
+        ),
+    }
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) == 2:
+        old_path, new_path = argv
+    elif not argv:
+        old_path, new_path = newest_two()
+    else:
+        print(__doc__, file=sys.stderr)
+        return 2
+    old, new = load_snapshot(old_path), load_snapshot(new_path)
+    d = diff(old, new)
+    print(f"old: {old_path}\nnew: {new_path}")
+    h = d["headline"]
+    print(f"headline {h['metric']}: {h['old']} -> {h['new']}")
+    print(
+        f"median warm ratio new/old over {d['n_shared']} shared rows: "
+        f"{d['median_warm_ratio']}"
+        "  (far from 1.0 on code-stable rounds = box speed, not code)"
+    )
+    print(f"total warm: {d['total_warm'][0]} -> {d['total_warm'][1]}")
+    print(f"total cold: {d['total_cold'][0]} -> {d['total_cold'][1]}")
+    if d["errored_new"]:
+        print(f"ERRORED in new: {d['errored_new']}")
+
+    def _capped(rows):
+        # a driver artifact's compact line truncates `queries` to the
+        # slowest few rows, so added/removed can legitimately be ~100
+        # names — cap the listing, the count is the signal
+        head = ", ".join(rows[:10])
+        more = f" (+{len(rows) - 10} more)" if len(rows) > 10 else ""
+        return f"{len(rows)}: {head}{more}"
+
+    if d["added"]:
+        print(f"added rows {_capped(d['added'])}")
+    if d["removed"]:
+        print(f"removed rows {_capped(d['removed'])}")
+    print("slowest growth (new/old):")
+    for k, r in d["slowest_growth"]:
+        print(f"  {r:>6.2f}x  {k}")
+    print("best improvement (new/old):")
+    for k, r in d["best_improvement"]:
+        print(f"  {r:>6.2f}x  {k}")
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main(sys.argv[1:]))
+    except BrokenPipeError:
+        # downstream `| head` closed the pipe — normal CLI usage
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        raise SystemExit(0)
