@@ -114,6 +114,20 @@ def main(argv: list[str] | None = None) -> int:
         pts.unpersist()
 
 
+def _looks_like_run_output(path: str) -> bool:
+    """True when ``path`` is a directory holding a previous run's Spark
+    text output (_SUCCESS marker or part- files) — the ONLY thing the
+    --fidelity pre-flight will allow to be overwritten and the stale
+    sweep will allow to be removed. Shared by both sites so the
+    accept/remove predicates can never drift apart."""
+    if not os.path.isdir(path):
+        return False  # a plain FILE at <out><i> is never run output
+    entries = os.listdir(path)
+    return "_SUCCESS" in entries or any(
+        e.startswith("part-") for e in entries
+    )
+
+
 def _write_centroid_text(spark, centroids, path) -> None:
     """Reference TextOutputFormat shape: '<clusterId>\\t<c1, c2, ...>'
     (KMeans.java:90,150; Point.java:96-106)."""
@@ -149,21 +163,17 @@ def _run_fit(
     # directory matching the numeric-suffix naming is never clobbered and
     # the failure costs nothing (the reference likewise fails on existing
     # output before running, KMeans.java:139-146).
+    touchable: set[int] = set()
     if fidelity and "://" not in out:
         # the touchable index set: overwrite reaches every i <= the final
         # iteration count (<= max_iter) even across gaps; the stale sweep
-        # then walks CONTIGUOUSLY from final+1 — so the indices to vet are
-        # 1..max_iter plus the contiguous run beyond it, and nothing else
-        # (a dir like <out>2024 beyond a gap is untouched and must not
-        # block the run). List the parent directory ONCE and intersect
-        # with that set — a per-index isdir() loop would stat max_iter
-        # paths and stall the CLI for a large max_iter before any work.
-        def _looks_like_run_output(path: str) -> bool:
-            entries = os.listdir(path)
-            return "_SUCCESS" in entries or any(
-                e.startswith("part-") for e in entries
-            )
-
+        # removes the REST of the touchable set beyond final — so the
+        # indices to vet are 1..max_iter plus the contiguous run beyond
+        # it, and nothing else (a dir like <out>2024 beyond a gap is
+        # untouched and must not block the run). List the parent
+        # directory ONCE and intersect with that set — a per-index
+        # isdir() loop would stat max_iter paths and stall the CLI for a
+        # large max_iter before any work.
         import re
 
         base_path = out.rstrip("/")
@@ -171,16 +181,28 @@ def _run_fit(
         base = os.path.basename(base_path)
         try:
             siblings = os.listdir(parent)
-        except OSError:
+        except (FileNotFoundError, NotADirectoryError):
             siblings = []  # parent doesn't exist yet: nothing to clobber
+        except OSError as ex:
+            # an unreadable parent (EACCES etc.) means the clobber guard
+            # CANNOT vet anything — refuse rather than silently waving
+            # the run through a disabled guard
+            print(
+                f"--fidelity: cannot list {parent!r} to vet pre-existing "
+                f"<output><i> entries ({ex}); fix permissions or run "
+                "without --fidelity",
+                file=sys.stderr,
+            )
+            return 1
         # the run only ever touches '<base><i>' with i rendered by str(int)
-        # — no leading zeros, no index 0 — so 'out007'/'out0' never match
+        # — no leading zeros, no index 0 — so 'out007'/'out0' never match.
+        # Plain FILES at matching names are vetted too: Spark's overwrite
+        # write destroys a file just as thoroughly as a dir.
         suffix_re = re.compile(re.escape(base) + r"([1-9][0-9]*)$")
         existing = {
             int(m.group(1))
             for e in siblings
             if (m := suffix_re.fullmatch(e))
-            and os.path.isdir(os.path.join(parent, e))
         }
         touchable = {n for n in existing if n <= max_iter}
         n = max_iter + 1
@@ -263,21 +285,32 @@ def _run_fit(
         else:
             import shutil
 
-            i = len(model.centroid_history) + 1
-            while os.path.isdir(f"{out.rstrip('/')}{i}"):
+            final = len(model.centroid_history)
+            # sweep domain = every pre-flight-vetted touchable index past
+            # the final snapshot (INCLUDING gapped ones <= max_iter — a
+            # contiguous-only walk would stop at the first gap and leave
+            # higher run-output dirs mixed with this run's), plus the
+            # contiguous walk from final+1 for dirs that appeared after
+            # pre-flight (e.g. a concurrent longer run).
+            stale_idx = {n for n in touchable if n > final}
+            n = final + 1
+            while os.path.isdir(f"{out.rstrip('/')}{n}"):
+                stale_idx.add(n)
+                n += 1
+            for i in sorted(stale_idx):
                 stale = f"{out.rstrip('/')}{i}"
+                if not os.path.exists(stale):
+                    continue  # vetted pre-flight, removed meanwhile
                 # only delete what a previous run plausibly wrote: a
                 # Spark text output dir (_SUCCESS marker or part- files).
-                # An unrelated user dir that happens to match the
-                # numeric-suffix naming must never be destroyed.
-                entries = os.listdir(stale)
-                if not ("_SUCCESS" in entries
-                        or any(e.startswith("part-") for e in entries)):
-                    # the dir appeared between pre-flight and here (TOCTOU)
-                    # — the fit already succeeded and the centroids +
-                    # per-iteration dirs are on disk, so don't abandon the
-                    # run report/log: warn, skip the sweep, and exit
-                    # non-zero at the end so the stale dirs get attention
+                # An unrelated user path that happens to match the
+                # numeric-suffix naming must never be destroyed — this
+                # re-check catches entries changed since pre-flight
+                # (TOCTOU): the fit already succeeded and the centroids +
+                # per-iteration dirs are on disk, so don't abandon the
+                # run report/log on a refusal — warn, keep sweeping the
+                # rest, and exit non-zero so the survivors get attention.
+                if not _looks_like_run_output(stale):
                     print(
                         f"--fidelity: refusing to remove {stale!r}: it "
                         "does not look like a previous run's centroid "
@@ -285,13 +318,12 @@ def _run_fit(
                         "rename it manually. The fit succeeded and its "
                         "centroid outputs were already written; "
                         "_run_report.json/outputsLog.txt follow, but "
-                        "stale higher-numbered dirs remain unswept",
+                        "this stale entry remains unswept",
                         file=sys.stderr,
                     )
                     sweep_refused = True
-                    break
+                    continue
                 shutil.rmtree(stale)
-                i += 1
 
     report = model.report()
     report.update({"input": inp, "output": out, "seed": seed, "method": method})

@@ -62,6 +62,13 @@ def test_load_snapshot_unwraps_driver_artifact(tmp_path):
     null_parsed.write_text(json.dumps({"parsed": None}))
     with pytest.raises(SystemExit):
         bench_diff.load_snapshot(str(null_parsed))
+    # a file holding ANY non-dict JSON (e.g. bare null) must hit the same
+    # clean SystemExit, not a TypeError on the membership test
+    for content in ("null", "[1, 2]", '"text"'):
+        bad = tmp_path / "bad.json"
+        bad.write_text(content)
+        with pytest.raises(SystemExit):
+            bench_diff.load_snapshot(str(bad))
 
 
 def test_cli_survives_closed_stdout_pipe():

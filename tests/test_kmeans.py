@@ -433,6 +433,52 @@ def test_cli_fidelity_toctou_refusal_still_writes_report(
     assert "k=3" in (tmp_path / "outputsLog.txt").read_text()
 
 
+def test_cli_fidelity_sweeps_gapped_stale_dirs_and_refuses_plain_files(
+    spark, tmp_path, capsys
+):
+    """Two guard gaps from the r8 review: (1) the stale sweep must remove
+    run-output dirs BEYOND a gap (a contiguous-only walk stopped at the
+    first missing index and silently left two runs' centroids mixed);
+    (2) a plain FILE named <out><i> is destroyed by Spark's overwrite
+    write just like a dir, so pre-flight must refuse it, not skip it via
+    an isdir filter."""
+    import os
+
+    from k_means_in_mapreduce_spark.cli import main
+    from k_means_in_mapreduce_spark.sources.text_points import write_points
+
+    inp = str(tmp_path / "pts")
+    out = str(tmp_path / "res")
+    emb = load_table(spark, SF0001, "embeddings").limit(100)
+    write_points(emb, inp, "embedding")
+
+    # (2) plain file at a touchable index: refuse before any work
+    clobber_target = tmp_path / "res1"
+    clobber_target.write_text("user notes")
+    assert main([inp, "3", "8", out, "64", "1e12", "2", "--fidelity"]) == 1
+    assert "refusing to run" in capsys.readouterr().err
+    assert clobber_target.read_text() == "user notes"
+    clobber_target.unlink()
+
+    # (1) fake previous-run outputs at res5/res6 with a gap at 2-4;
+    # epsilon=1e12 converges after 1 iteration, so final=1 and a
+    # contiguous walk from 2 would find nothing and leave them behind
+    for i in (5, 6):
+        d = tmp_path / f"res{i}"
+        d.mkdir()
+        (d / "_SUCCESS").write_text("")
+        (d / "part-00000").write_text("0\t<0.0>\n")
+    # a gap dir BEYOND max_iter stays untouchable and must survive
+    backup = tmp_path / "res2024"
+    backup.mkdir()
+    (backup / "_SUCCESS").write_text("")
+
+    assert main([inp, "3", "8", out, "64", "1e12", "2", "--fidelity"]) == 0
+    assert os.path.isdir(f"{out}1")
+    assert not os.path.exists(f"{out}5") and not os.path.exists(f"{out}6")
+    assert backup.is_dir()
+
+
 def test_cli_fidelity_preflight_is_listdir_not_per_index_stat(
     spark, tmp_path
 ):

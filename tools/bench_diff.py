@@ -35,9 +35,11 @@ def load_snapshot(path: str) -> dict:
     with open(path) as fh:
         doc = json.load(fh)
     # driver artifact wrapper: {"n":..., "tail":..., "parsed": {...}}
-    if "parsed" in doc and isinstance(doc["parsed"], dict):
+    # (a failed driver parse records "parsed": null — and the file itself
+    # may be any JSON value, so type-check before membership tests)
+    if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
-    if doc is None or "queries" not in doc:
+    if not isinstance(doc, dict) or "queries" not in doc:
         raise SystemExit(f"{path}: no usable bench snapshot inside")
     return doc
 
