@@ -184,16 +184,16 @@ def bench_kmeans_iteration(
 
 def scratch_entry_pattern(tag: str):
     """Compiled matcher for .tmp scratch entries belonging to the sf_dir
-    with sanitized ``tag`` — the known scratch-name families anchored to
-    the EXACT tag (ADVICE r6: bare entry.endswith(tag) also deletes a
-    different sf_dir whose sanitized tag has this tag as a suffix, e.g.
-    /data/sf1 clearing /other/data/sf1). The fixed names match exactly,
-    closing the hazard for them outright. art_/bkt_ entries carry a
-    variable middle, so for those the collision narrows to another sf_dir
-    whose path ends with this sf_dir's full path (its extra prefix is
-    then absorbed by the name wildcard) — full disambiguation needs a
-    delimiter in artifacts.scratch_tag's on-disk naming, deferred to a
-    round where the operator fingerprint cone flips anyway.
+    with sanitized ``tag`` — the known scratch-name families, anchored on
+    artifacts._scratch's ``--`` name/tag delimiter plus the EXACT tag.
+    A sanitized tag can never contain '-' (scratch_tag maps it to '_'),
+    and the art_/bkt_ name wildcard excludes '-', so the first ``--``
+    pins the tag boundary: clearing sf_dir A can no longer match an
+    entry of a different sf_dir B in ANY direction — including the old
+    residual where B's path ends with A's full path and the variable
+    family name absorbed B's extra prefix (ADVICE r6/r7, closed by the
+    delimiter; entries under the pre-delimiter naming are orphaned by
+    the rename and were swept once when it landed).
 
     A tripwire test (tests/test_artifacts.py) enumerates the package's
     actual ``_scratch(sf_dir, ...)`` call sites against this pattern, so
@@ -205,7 +205,7 @@ def scratch_entry_pattern(tag: str):
     return re.compile(
         r"^(?:art_[A-Za-z0-9_]+|bkt_[A-Za-z0-9_]+|ivf_index|centroids_text"
         r"|orders_csv|events_json|orders_part|lineitem_orc"
-        r"|orders_corrupt_csv|points_text)"
+        r"|orders_corrupt_csv|points_text)--"
         + re.escape(tag)
         + r"(?:\.fingerprint)?$"
     )
@@ -324,12 +324,6 @@ def main() -> None:
         "value": round(km["arrow"]["sec_per_iter"], 3),
         "value_expr": round(km["expr"]["sec_per_iter"], 3),
         "value_mllib": round(km["mllib"]["sec_per_iter"], 3),
-        # DEPRECATED alias (one transition round, ADVICE r7): r1-r6
-        # snapshots used the unsuffixed metric name; any diff keyed on it
-        # keeps resolving while consumers move to the labeled key above
-        "kmeans_sec_per_iteration_n100k": round(
-            km["arrow"]["sec_per_iter"], 3
-        ),
         "unit": "sec",
         "queries": per_query,
         "queries_cold": per_query_cold,

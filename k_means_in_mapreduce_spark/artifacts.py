@@ -29,7 +29,15 @@ def scratch_tag(sf_dir: str) -> str:
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(_REPO_ROOT, ".tmp", f"{name}{scratch_tag(sf_dir)}")
+    # '--' delimits family name from tag in the ON-DISK naming only (the
+    # bucketed-table catalog identifiers embed the raw tag — '-' is
+    # illegal there, which is also why a sanitized tag can never contain
+    # '-'). The delimiter makes the tag boundary unambiguous for
+    # bench.clear_artifact_cache: without it, clearing sf_dir A could
+    # also match an art_/bkt_ entry of an sf_dir B whose path ends with
+    # A's full path (B's extra prefix absorbed by the variable family
+    # name) — the ADVICE r6/r7 residual this closes.
+    return os.path.join(_REPO_ROOT, ".tmp", f"{name}--{scratch_tag(sf_dir)}")
 
 
 def source_fingerprint(path: str) -> str:

@@ -308,6 +308,15 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
     ``while (iter < MAX_ITER)`` with ``iter=1`` runs at most MAX_ITER-1
     jobs, ``KMeans.java:113,130`` — a documented off-by-one we do NOT
     reproduce).
+
+    Concurrency note: the loop disables ``spark.sql.adaptive.enabled``
+    for its duration and restores the prior value on exit (see the
+    comment below for why). SQL confs are SESSION-global, so two
+    concurrent ``fit()`` calls on the SAME SparkSession would race the
+    toggle/restore, and unrelated queries running on that session
+    meanwhile execute without AQE. Callers needing concurrent fits
+    should give each its own session (``spark.newSession()`` — confs are
+    per-session, the cache and cluster are shared).
     """
     if config.method not in ("expr", "arrow"):
         # fail fast: a typo'd method would otherwise silently run the

@@ -206,19 +206,20 @@ def test_clear_artifact_cache_matches_known_names_and_exact_tag(tmp_path):
     os.makedirs(tmp, exist_ok=True)
 
     doomed = [
-        f"art_pairs{tag}",            # artifact family
-        f"bkt_orders{tag}.fingerprint",  # bucketed-copy marker
-        f"ivf_index{tag}",            # fixed name, exact tag
-        f"centroids_text{tag}",
+        f"art_pairs--{tag}",            # artifact family
+        f"bkt_orders--{tag}.fingerprint",  # bucketed-copy marker
+        f"ivf_index--{tag}",            # fixed name, exact tag
+        f"centroids_text--{tag}",
     ]
     survivors = [
-        f"unrelated{tag}",            # not a scratch family name
-        f"ivf_indexx{tag}",           # fixed name must match exactly
+        f"unrelated--{tag}",            # not a scratch family name
+        f"ivf_indexx--{tag}",           # fixed name must match exactly
         # a DIFFERENT sf_dir (/other/bench_test_zone/data/sf1) whose tag
         # has ours as a suffix, behind a fixed-name entry: the old
         # endswith(tag) deleted this
-        "centroids_text_other" + tag,
-        f"art_pairs{tag}_trailing",   # tag must terminate the entry
+        "centroids_text--_other" + tag,
+        f"art_pairs--{tag}_trailing",   # tag must terminate the entry
+        f"art_pairs{tag}",              # pre-delimiter legacy naming
     ]
     try:
         for name in doomed + survivors:
@@ -312,7 +313,7 @@ def test_scratch_entry_pattern_covers_every_scratch_call_site():
 
     assert call_sites, "no _scratch call sites found — walker broken?"
     for full, lineno, name in call_sites:
-        entry = f"{name}{tag}"
+        entry = f"{name}--{tag}"  # artifacts._scratch's on-disk naming
         assert pat.match(entry), (
             f"{full}:{lineno}: scratch family {name!r} is NOT covered by "
             "bench.scratch_entry_pattern — extend the pattern or the "
@@ -323,19 +324,17 @@ def test_scratch_entry_pattern_covers_every_scratch_call_site():
 
 
 def test_scratch_entry_pattern_adversarial_suffix_dirs():
-    """Property (VERDICT r7 #6): pin scratch_entry_pattern's exact
-    collision boundary against adversarial sf_dir pairs where one path is
-    a path-suffix of the other (/data/sf1 vs /other/data/sf1 — their
-    sanitized tags share a suffix).
+    """Property (VERDICT r7 #6): scratch_entry_pattern against adversarial
+    sf_dir pairs where one path is a path-suffix of the other (/data/sf1
+    vs /other/data/sf1 — their sanitized tags share a suffix).
 
-    Pinned narrowed behavior (r6 fix): FIXED-name families never cross
-    tags in either direction, and neither do variable art_/bkt_ entries
-    when the overlap lacks the leading path boundary. Pinned RESIDUAL
-    (documented in scratch_entry_pattern's docstring): an art_/bkt_ entry
-    tagged with the LONGER tag still matches the shorter tag's pattern,
-    because the variable name wildcard absorbs the extra path prefix —
-    the r9 delimiter change in artifacts._scratch's on-disk naming must
-    flip exactly the two assertions marked RESIDUAL below to not-match."""
+    With artifacts._scratch's ``--`` name/tag delimiter, NO family —
+    fixed or variable — matches across tags in either direction: the tag
+    alphabet excludes '-' and so does the art_/bkt_ name wildcard, so the
+    delimiter pins the tag boundary exactly. (Before the delimiter, an
+    art_/bkt_ entry tagged with the longer tag matched the shorter tag's
+    pattern — the wildcard absorbed the extra path prefix; the r8 version
+    of this test pinned that residual as the red/green target.)"""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -358,6 +357,7 @@ def test_scratch_entry_pattern_adversarial_suffix_dirs():
         b = "/" + "/".join(extra) + a  # b's path ends with a's FULL path
         tag_a, tag_b = scratch_tag(a), scratch_tag(b)
         assert tag_b.endswith(tag_a) and tag_b != tag_a
+        assert "-" not in tag_a  # the delimiter's load-bearing guarantee
         pat_a, pat_b = (
             bench.scratch_entry_pattern(tag_a),
             bench.scratch_entry_pattern(tag_b),
@@ -365,33 +365,33 @@ def test_scratch_entry_pattern_adversarial_suffix_dirs():
 
         for fam in FIXED:
             # own tag always matches (dir + bucket marker forms)
-            assert pat_a.match(f"{fam}{tag_a}")
-            assert pat_a.match(f"{fam}{tag_a}.fingerprint")
+            assert pat_a.match(f"{fam}--{tag_a}")
+            assert pat_a.match(f"{fam}--{tag_a}.fingerprint")
             # fixed names never cross tags, in either direction
-            assert not pat_a.match(f"{fam}{tag_b}")
-            assert not pat_b.match(f"{fam}{tag_a}")
+            assert not pat_a.match(f"{fam}--{tag_b}")
+            assert not pat_b.match(f"{fam}--{tag_a}")
 
-        # variable families: own tag matches; the shorter tag never
-        # matches into the longer tag's pattern (the end anchor needs
-        # tag_b, which 'pairs'/'orders' can't supply)
-        assert pat_a.match(f"art_pairs{tag_a}")
-        assert pat_a.match(f"bkt_orders{tag_a}.fingerprint")
-        assert not pat_b.match(f"art_pairs{tag_a}")
-        assert not pat_b.match(f"bkt_orders{tag_a}")
+        # variable families: own tag matches; neither direction crosses —
+        # including the pre-delimiter residual direction (longer tag's
+        # entry vs shorter tag's pattern), now dead because the wildcard
+        # can't absorb past the '--'
+        assert pat_a.match(f"art_pairs--{tag_a}")
+        assert pat_a.match(f"bkt_orders--{tag_a}.fingerprint")
+        assert not pat_b.match(f"art_pairs--{tag_a}")
+        assert not pat_b.match(f"bkt_orders--{tag_a}")
+        assert not pat_a.match(f"art_pairs--{tag_b}")
+        assert not pat_a.match(f"bkt_orders--{tag_b}.fingerprint")
 
-        # RESIDUAL: the longer tag's entry matches the shorter tag's
-        # pattern — the [A-Za-z0-9_]+ name wildcard absorbs b's extra
-        # path prefix. Flip both to `not ...match` when artifacts._scratch
-        # gains a name/tag delimiter (planned r9 cone-flip round).
-        assert pat_a.match(f"art_pairs{tag_b}")
-        assert pat_a.match(f"bkt_orders{tag_b}.fingerprint")
+        # pre-delimiter legacy entries never match (orphaned on rename,
+        # swept once manually when the delimiter landed)
+        assert not pat_a.match(f"art_pairs{tag_a}")
+        assert not pat_a.match(f"ivf_index{tag_a}")
 
         # string-suffix WITHOUT the path boundary (/zdata/sf1 vs
-        # /data/sf1 style): no leading '_' survives sanitization at the
-        # join, so neither fixed nor variable families cross
+        # /data/sf1 style): still no cross-match
         c = "/" + "".join(extra) + inner[0]  # first segment glued, no '/'
         tag_c = scratch_tag(c)
         if tag_c != tag_a and not tag_c.endswith(tag_a):
-            assert not pat_a.match(f"art_pairs{tag_c}")
+            assert not pat_a.match(f"art_pairs--{tag_c}")
 
     run()
