@@ -220,6 +220,18 @@ def _run_fit(
                     file=sys.stderr,
                 )
                 return 1
+        if touchable:
+            # name what the vet waved through BEFORE anything is
+            # destroyed: a foreign sibling output that happens to match
+            # the numeric-suffix naming AND look like run output (has
+            # _SUCCESS/part-*) passes the vet silently — this line is the
+            # user's one chance to spot it and abort
+            print(
+                "--fidelity: pre-existing per-iteration entries vetted "
+                "as run output and eligible for overwrite/sweep: "
+                + ", ".join(f"{base_path}{i}" for i in sorted(touchable)),
+                file=sys.stderr,
+            )
 
     # Fail fast like the reference (NumberFormatException kills the job,
     # KMeans.java:269): wrong arity OR any non-numeric token. The parser's

@@ -36,8 +36,21 @@ def test_diff_median_ratio_and_rankings():
     assert d["best_improvement"][0][0] == "c"
     assert d["headline"] == {
         "old": 0.25, "new": 0.30,
+        "new_box_adjusted": round(0.30 / 1.5, 4),
         "metric": "kmeans_sec_per_iteration_n100k_arrow",
     }
+
+
+def test_diff_keeps_kmeans_grid_rows_out_of_the_query_median():
+    # bench.py injects synthetic "_kmeans_*" grid rows; they must not
+    # shift the query-only median, appear in rankings, or count as shared
+    old = _snap({"a": 1.0, "b": 1.0, "_kmeans_100k_per_iter_arrow": 0.1})
+    new = _snap({"a": 2.0, "b": 2.0, "_kmeans_100k_per_iter_arrow": 1.0})
+    d = bench_diff.diff(old, new)
+    assert d["median_warm_ratio"] == 2.0  # NOT dragged to 10x by the grid row
+    assert d["n_shared"] == 2
+    assert d["grid_ratios"] == {"_kmeans_100k_per_iter_arrow": 10.0}
+    assert all(not k.startswith("_") for k, _ in d["slowest_growth"])
 
 
 def test_diff_excludes_errored_rows_and_reports_membership():

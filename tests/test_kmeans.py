@@ -260,7 +260,7 @@ def test_iteration_partitions_regimes():
     assert K._iteration_partitions(0, 0) == 1
 
 
-def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
+def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path, capsys):
     """--fidelity reproduces the reference's per-iteration output
     directories (`output + iter`, KMeans.java:148): <out>1..<out>N each
     hold that iteration's centroids in the same text shape, and <out>N
@@ -276,6 +276,9 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
     write_points(emb, inp, "embedding")
 
     assert main([inp, "3", "4", out, "64", "0.0", "2", "--fidelity"]) == 0
+    # fresh path: nothing pre-existing, so the pre-flight must NOT print
+    # the vetted-entries line (it would be noise on every clean run)
+    assert "vetted" not in capsys.readouterr().err
 
     def read_dir(path):
         return sorted(
@@ -295,6 +298,14 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path):
     assert main([inp, "3", "2", out, "64", "0.0", "2", "--fidelity"]) == 0
     assert os.path.isdir(f"{out}2")
     assert not os.path.isdir(f"{out}3") and not os.path.isdir(f"{out}4")
+    # the re-run found <out>1..<out>4 pre-existing: the pre-flight must
+    # name them as overwrite/sweep-eligible on stderr BEFORE destroying
+    # anything, so a vetted-but-foreign sibling output is visible
+    # (ADVICE r8)
+    err = capsys.readouterr().err
+    assert "vetted" in err
+    for i in range(1, 5):
+        assert f"{out}{i}" in err
     # default run writes no per-iteration dirs
     out2 = str(tmp_path / "cents_plain")
     assert main([inp, "3", "4", out2, "64", "0.0", "2"]) == 0
@@ -486,8 +497,11 @@ def test_cli_fidelity_preflight_is_listdir_not_per_index_stat(
     index up to max_iter (ADVICE r7: max_iter=10^9 stalled the CLI before
     any work). With a huge max_iter and a large epsilon the run converges
     after one iteration — it completes at all only if pre-flight doesn't
-    walk the index range."""
+    walk the index range. A wall-clock alarm turns a reintroduced
+    O(max_iter) loop into a crisp failure instead of an apparent suite
+    hang (ADVICE r8)."""
     import os
+    import signal
 
     from k_means_in_mapreduce_spark.cli import main
     from k_means_in_mapreduce_spark.sources.text_points import write_points
@@ -497,7 +511,20 @@ def test_cli_fidelity_preflight_is_listdir_not_per_index_stat(
     emb = load_table(spark, SF0001, "embeddings").limit(100)
     write_points(emb, inp, "embedding")
 
-    assert main(
-        [inp, "3", "1000000000", out, "64", "1e12", "2", "--fidelity"]
-    ) == 0
+    def _too_slow(signum, frame):
+        raise AssertionError(
+            "CLI --fidelity run exceeded the 300s wall-clock bound: the "
+            "pre-flight has likely regressed to a per-index stat loop "
+            "over max_iter=10^9 (it must listdir the parent once)"
+        )
+
+    prev = signal.signal(signal.SIGALRM, _too_slow)
+    signal.alarm(300)  # one-iteration fit on 100 points: normally <60s
+    try:
+        assert main(
+            [inp, "3", "1000000000", out, "64", "1e12", "2", "--fidelity"]
+        ) == 0
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
     assert os.path.isdir(f"{out}1")

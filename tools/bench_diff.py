@@ -58,18 +58,34 @@ def diff(old: dict, new: dict) -> dict:
         for k in qn
         if k in qo and qo[k] > 0 and qn[k] > 0  # -1 marks an errored row
     ]
-    ratios = {k: qn[k] / qo[k] for k in shared}
+    # bench.py injects synthetic "_kmeans_*" grid rows alongside the real
+    # query rows; keep them out of the query-only median (it is read as
+    # the box baseline) and report them on their own line instead
+    qshared = [k for k in shared if not k.startswith("_")]
+    grid = {k: qn[k] / qo[k] for k in shared if k.startswith("_")}
+    ratios = {k: qn[k] / qo[k] for k in qshared}
     sizable = {k: r for k, r in ratios.items() if max(qo[k], qn[k]) >= MIN_SEC}
     ranked = sorted(sizable.items(), key=lambda kv: -kv[1])
     med = statistics.median(ratios.values()) if ratios else float("nan")
+    headline_old, headline_new = old.get("value"), new.get("value")
+    # box-adjusted view: divide the new headline by the median query
+    # ratio, so "the box was uniformly 1.24x slower" cancels out and the
+    # residual delta is attributable to code
+    adj = (
+        round(headline_new / med, 4)
+        if headline_new is not None and med == med and med > 0
+        else None
+    )
     return {
         "headline": {
-            "old": old.get("value"),
-            "new": new.get("value"),
+            "old": headline_old,
+            "new": headline_new,
+            "new_box_adjusted": adj,
             "metric": new.get("metric"),
         },
         "median_warm_ratio": round(med, 3),
-        "n_shared": len(shared),
+        "grid_ratios": {k: round(r, 3) for k, r in sorted(grid.items())},
+        "n_shared": len(qshared),
         "added": sorted(set(qn) - set(qo)),
         "removed": sorted(set(qo) - set(qn)),
         "errored_new": sorted(k for k, v in qn.items() if v < 0),
@@ -96,11 +112,21 @@ def main(argv: list[str]) -> int:
     print(f"old: {old_path}\nnew: {new_path}")
     h = d["headline"]
     print(f"headline {h['metric']}: {h['old']} -> {h['new']}")
+    if h.get("new_box_adjusted") is not None:
+        print(
+            f"  box-adjusted new headline: {h['new_box_adjusted']}"
+            "  (new / median query ratio; compare THIS to old)"
+        )
     print(
-        f"median warm ratio new/old over {d['n_shared']} shared rows: "
+        f"median warm ratio new/old over {d['n_shared']} shared query rows: "
         f"{d['median_warm_ratio']}"
         "  (far from 1.0 on code-stable rounds = box speed, not code)"
     )
+    if d["grid_ratios"]:
+        print(
+            "k-means grid ratios (reported separately, excluded from median): "
+            + ", ".join(f"{k}={r}" for k, r in d["grid_ratios"].items())
+        )
     print(f"total warm: {d['total_warm'][0]} -> {d['total_warm'][1]}")
     print(f"total cold: {d['total_cold'][0]} -> {d['total_cold'][1]}")
     if d["errored_new"]:
