@@ -125,6 +125,91 @@ def test_priority_override_names_are_all_registered():
     assert not missing, sorted(missing)
 
 
+GREEN = {
+    "rows_match": True, "schema_match": True, "hash_match": True,
+    "spark_rows": 4, "oracle_rows": 4, "err": None,
+}
+
+
+def _write_round(root, stem, rows):
+    path = os.path.join(str(root), f"CORRECTNESS_{stem}.json")
+    with open(path, "w") as fh:
+        json.dump(rows, fh)
+    return f"CORRECTNESS_{stem}.json"
+
+
+def test_incorporate_correctness_numeric_order_and_gate_tree_stamp(
+    tmp_path, monkeypatch
+):
+    """r10 must fold in AFTER r2 (numeric, not lexicographic, where
+    'r10' < 'r2') so the later round owns the ledger row, and the stamp
+    must be the fingerprint at the INTRODUCING COMMIT's tree, not the
+    working tree."""
+    import subprocess
+
+    qname = "q1_pricing_summary"
+    assert qname in registry.QUERIES
+    head = subprocess.run(
+        ["git", "-C", gl.REPO_ROOT, "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    monkeypatch.setattr(gl, "_introducing_commit", lambda name: head)
+    n2 = _write_round(tmp_path, "r2", {qname: GREEN})
+    n10 = _write_round(tmp_path, "r10", {qname: GREEN})
+    ledger = {"rounds_seen": [], "queries": {}}
+    added = gl.incorporate_correctness(ledger, repo_root=str(tmp_path))
+    assert added == [n2, n10]
+    row = ledger["queries"][qname]
+    assert row["last_checked_round"] == 10  # r10 processed last, wins
+    assert row["gate_commit"] == head
+    mod = registry.QUERIES[qname].__module__
+    assert row["fingerprint"] == gl.module_fingerprint(mod, ref=head)
+    assert ledger["rounds_seen"] == sorted([n2, n10])
+    # idempotent: a second call sees both rounds in rounds_seen
+    assert gl.incorporate_correctness(ledger, repo_root=str(tmp_path)) == []
+
+
+def test_incorporate_correctness_skips_untracked_file(tmp_path, capsys):
+    """A CORRECTNESS file git never saw must be SKIPPED with a warning
+    and NOT marked seen — stamping from the working tree would record
+    post-gate edits as at-green, and marking it seen would block the
+    true incorporation after the driver commits it."""
+    qname = next(iter(registry.QUERIES))
+    _write_round(tmp_path, "r97", {qname: GREEN})
+    ledger = {"rounds_seen": [], "queries": {}}
+    assert gl.incorporate_correctness(ledger, repo_root=str(tmp_path)) == []
+    assert ledger["rounds_seen"] == []
+    assert qname not in ledger["queries"]
+    assert "skipping" in capsys.readouterr().err
+
+
+def test_incorporate_correctness_stamps_only_checked_known_rows(
+    tmp_path, monkeypatch
+):
+    """Red rows (hash mismatch), error rows, and unknown query names must
+    never earn an at-green stamp; a no_oracle row with a row count is the
+    driver's weaker pass and DOES count."""
+    import subprocess
+
+    names = iter(sorted(registry.QUERIES))
+    q_green, q_red, q_err, q_noora = (next(names) for _ in range(4))
+    head = subprocess.run(
+        ["git", "-C", gl.REPO_ROOT, "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    monkeypatch.setattr(gl, "_introducing_commit", lambda name: head)
+    _write_round(tmp_path, "r3", {
+        q_green: GREEN,
+        q_red: {**GREEN, "hash_match": False},
+        q_err: {**GREEN, "rows_match": None, "err": "AnalysisException"},
+        q_noora: {"err": "no_oracle", "spark_rows": 7},
+        "not_a_registered_query": GREEN,
+    })
+    ledger = {"rounds_seen": [], "queries": {}}
+    assert gl.incorporate_correctness(ledger, repo_root=str(tmp_path))
+    assert set(ledger["queries"]) == {q_green, q_noora}
+
+
 def test_out_of_cone_modules_stay_out_of_every_query_fingerprint():
     """Editing cli.py / gate_ledger.py / bench-adjacent modules must NEVER
     flip registry queries to changed-since-green: the per-round gate
