@@ -114,6 +114,21 @@ def main(argv: list[str] | None = None) -> int:
         pts.unpersist()
 
 
+def _format_vetted(base_path: str, touchable: set[int]) -> str:
+    """The pre-flight's one-line disclosure of every pre-existing
+    ``<output><i>`` entry it vetted as overwrite/sweep-eligible. Capped:
+    a previous 1000-iteration run vets 1000 dirs, and the signal is the
+    names at the head of the range, not its interior."""
+    shown = sorted(touchable)
+    more = f" (+{len(shown) - 20} more)" if len(shown) > 20 else ""
+    return (
+        "--fidelity: pre-existing per-iteration entries vetted as run "
+        "output and eligible for overwrite/sweep: "
+        + ", ".join(f"{base_path}{i}" for i in shown[:20])
+        + more
+    )
+
+
 def _looks_like_run_output(path: str) -> bool:
     """True when ``path`` is a directory holding a previous run's Spark
     text output (_SUCCESS marker or part- files) — the ONLY thing the
@@ -226,12 +241,7 @@ def _run_fit(
             # the numeric-suffix naming AND look like run output (has
             # _SUCCESS/part-*) passes the vet silently — this line is the
             # user's one chance to spot it and abort
-            print(
-                "--fidelity: pre-existing per-iteration entries vetted "
-                "as run output and eligible for overwrite/sweep: "
-                + ", ".join(f"{base_path}{i}" for i in sorted(touchable)),
-                file=sys.stderr,
-            )
+            print(_format_vetted(base_path, touchable), file=sys.stderr)
 
     # Fail fast like the reference (NumberFormatException kills the job,
     # KMeans.java:269): wrong arity OR any non-numeric token. The parser's

@@ -312,6 +312,19 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path, capsys):
     assert not os.path.isdir(f"{out2}1")
 
 
+def test_cli_fidelity_vet_line_caps_long_ranges():
+    """The vetted-entries disclosure names every entry up to 20, then
+    summarizes — a previous 1000-iteration run must not dump 1000 paths
+    onto stderr (no Spark: pure string formatting)."""
+    from k_means_in_mapreduce_spark.cli import _format_vetted
+
+    short = _format_vetted("/tmp/res", {3, 1})
+    assert "/tmp/res1, /tmp/res3" in short and "more" not in short
+    long = _format_vetted("/tmp/res", set(range(1, 1001)))
+    assert "/tmp/res20" in long and "/tmp/res21" not in long
+    assert "(+980 more)" in long
+
+
 def test_cli_fidelity_refuses_unrelated_dirs_before_any_work(
     spark, tmp_path, capsys
 ):
