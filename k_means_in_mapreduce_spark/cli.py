@@ -116,16 +116,29 @@ def main(argv: list[str] | None = None) -> int:
 
 def _format_vetted(base_path: str, touchable: set[int]) -> str:
     """The pre-flight's one-line disclosure of every pre-existing
-    ``<output><i>`` entry it vetted as overwrite/sweep-eligible. Capped:
-    a previous 1000-iteration run vets 1000 dirs, and the signal is the
-    names at the head of the range, not its interior."""
+    ``<output><i>`` entry it vetted as overwrite/sweep-eligible.
+    Contiguous index runs collapse to ``<base>a..<base>b`` so a previous
+    1000-iteration run reads as one span instead of 1000 paths — but
+    every index is REPRESENTED (a truncating cap would destroy entries
+    it never named, defeating the disclosure); only a pathological
+    alternating-gap layout overflows the 20-span cap, and the summary
+    then still reports the exact count it could not name."""
     shown = sorted(touchable)
-    more = f" (+{len(shown) - 20} more)" if len(shown) > 20 else ""
+    spans: list[tuple[int, int]] = []
+    for i in shown:
+        if spans and i == spans[-1][1] + 1:
+            spans[-1] = (spans[-1][0], i)
+        else:
+            spans.append((i, i))
+    named = ", ".join(
+        f"{base_path}{a}" if a == b else f"{base_path}{a}..{base_path}{b}"
+        for a, b in spans[:20]
+    )
+    rest = sum(b - a + 1 for a, b in spans[20:])
+    more = f" (+{rest} more entries)" if rest else ""
     return (
         "--fidelity: pre-existing per-iteration entries vetted as run "
-        "output and eligible for overwrite/sweep: "
-        + ", ".join(f"{base_path}{i}" for i in shown[:20])
-        + more
+        "output and eligible for overwrite/sweep: " + named + more
     )
 
 

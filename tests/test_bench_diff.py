@@ -27,18 +27,28 @@ def test_diff_median_ratio_and_rankings():
     old = _snap({"a": 1.0, "b": 2.0, "c": 0.5, "tiny": 0.01}, value=0.25)
     new = _snap({"a": 2.0, "b": 2.0, "c": 0.25, "tiny": 0.04}, value=0.30)
     d = bench_diff.diff(old, new)
-    # ratios: a=2.0, b=1.0, c=0.5, tiny=4.0 -> median of [0.5,1,2,4] = 1.5
-    assert d["median_warm_ratio"] == 1.5
+    # tiny (4.0x but sub-MIN_SEC in both runs) is timer noise: excluded
+    # from the box-baseline median AND the rankings, so the median is
+    # over [0.5, 1.0, 2.0] = 1.0, not dragged to 1.5 by noise
+    assert d["median_warm_ratio"] == 1.0
     assert d["n_shared"] == 4
-    # tiny is under MIN_SEC in both runs: excluded from the rankings
     ranked = [k for k, _ in d["slowest_growth"]]
     assert ranked[0] == "a" and "tiny" not in ranked
     assert d["best_improvement"][0][0] == "c"
     assert d["headline"] == {
         "old": 0.25, "new": 0.30,
-        "new_box_adjusted": round(0.30 / 1.5, 4),
+        "new_box_adjusted": round(0.30 / 1.0, 4),
         "metric": "kmeans_sec_per_iteration_n100k_arrow",
     }
+
+
+def test_diff_all_tiny_rows_fall_back_to_all_rows_median():
+    # when EVERY shared row is sub-MIN_SEC (tiny-sf snapshot) the median
+    # falls back to all rows rather than NaN
+    old = _snap({"a": 0.01, "b": 0.02})
+    new = _snap({"a": 0.02, "b": 0.02})
+    d = bench_diff.diff(old, new)
+    assert d["median_warm_ratio"] == 1.5
 
 
 def test_diff_keeps_kmeans_grid_rows_out_of_the_query_median():
@@ -51,6 +61,12 @@ def test_diff_keeps_kmeans_grid_rows_out_of_the_query_median():
     assert d["n_shared"] == 2
     assert d["grid_ratios"] == {"_kmeans_100k_per_iter_arrow": 10.0}
     assert all(not k.startswith("_") for k, _ in d["slowest_growth"])
+    # grid rows present on one side only (e.g. truncated driver artifact)
+    # must not surface as added/removed/errored QUERY rows
+    old2 = _snap({"a": 1.0, "_kmeans_400k_per_iter_arrow": 0.5})
+    new2 = _snap({"a": 1.0, "_kmeans_grid_new": 0.5, "_kmeans_broken": -1.0})
+    d2 = bench_diff.diff(old2, new2)
+    assert d2["added"] == [] and d2["removed"] == [] and d2["errored_new"] == []
 
 
 def test_diff_excludes_errored_rows_and_reports_membership():

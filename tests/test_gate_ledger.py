@@ -169,11 +169,16 @@ def test_incorporate_correctness_numeric_order_and_gate_tree_stamp(
     assert gl.incorporate_correctness(ledger, repo_root=str(tmp_path)) == []
 
 
-def test_incorporate_correctness_skips_untracked_file(tmp_path, capsys):
+def test_incorporate_correctness_skips_untracked_file(
+    tmp_path, capsys, monkeypatch
+):
     """A CORRECTNESS file git never saw must be SKIPPED with a warning
     and NOT marked seen — stamping from the working tree would record
     post-gate edits as at-green, and marking it seen would block the
-    true incorporation after the driver commits it."""
+    true incorporation after the driver commits it. _introducing_commit
+    is pinned to None rather than relying on the real git history never
+    containing this round number (it eventually will)."""
+    monkeypatch.setattr(gl, "_introducing_commit", lambda name: None)
     qname = next(iter(registry.QUERIES))
     _write_round(tmp_path, "r97", {qname: GREEN})
     ledger = {"rounds_seen": [], "queries": {}}

@@ -301,28 +301,36 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path, capsys):
     # the re-run found <out>1..<out>4 pre-existing: the pre-flight must
     # name them as overwrite/sweep-eligible on stderr BEFORE destroying
     # anything, so a vetted-but-foreign sibling output is visible
-    # (ADVICE r8)
+    # (ADVICE r8; contiguous indices collapse to one span)
     err = capsys.readouterr().err
     assert "vetted" in err
-    for i in range(1, 5):
-        assert f"{out}{i}" in err
+    assert f"{out}1..{out}4" in err
     # default run writes no per-iteration dirs
     out2 = str(tmp_path / "cents_plain")
     assert main([inp, "3", "4", out2, "64", "0.0", "2"]) == 0
     assert not os.path.isdir(f"{out2}1")
 
 
-def test_cli_fidelity_vet_line_caps_long_ranges():
-    """The vetted-entries disclosure names every entry up to 20, then
-    summarizes — a previous 1000-iteration run must not dump 1000 paths
-    onto stderr (no Spark: pure string formatting)."""
+def test_cli_fidelity_vet_line_collapses_ranges_without_hiding_entries():
+    """The vetted-entries disclosure collapses contiguous index runs so a
+    1000-iteration history reads as one span — but every index must be
+    REPRESENTED: a foreign dir at index 421 sits inside the named span,
+    never silently beyond a truncation point (no Spark: pure string
+    formatting)."""
     from k_means_in_mapreduce_spark.cli import _format_vetted
 
     short = _format_vetted("/tmp/res", {3, 1})
     assert "/tmp/res1, /tmp/res3" in short and "more" not in short
     long = _format_vetted("/tmp/res", set(range(1, 1001)))
-    assert "/tmp/res20" in long and "/tmp/res21" not in long
-    assert "(+980 more)" in long
+    assert "/tmp/res1../tmp/res1000" in long and "more" not in long
+    # gapped layout: each gap starts a new span
+    gapped = _format_vetted("/tmp/res", {1, 2, 3, 7, 9, 10})
+    assert "/tmp/res1../tmp/res3" in gapped
+    assert "/tmp/res7, /tmp/res9../tmp/res10" in gapped
+    # pathological alternating gaps overflow the span cap; the summary
+    # still accounts for every hidden entry by exact count
+    alt = _format_vetted("/tmp/res", set(range(1, 101, 2)))  # 50 spans
+    assert "(+30 more entries)" in alt
 
 
 def test_cli_fidelity_refuses_unrelated_dirs_before_any_work(

@@ -9,11 +9,15 @@ snapshots. Accepts either a raw bench snapshot (``BENCH_RESULT.json`` /
 the snapshot under ``"parsed"`` — possibly with a truncated ``queries``
 summary, in which case only the overlapping rows are compared).
 
-The key output is the MEDIAN warm ratio across all shared query rows:
+The key output is the MEDIAN warm ratio across the shared query rows of
+sizable runtime (>= MIN_SEC in either run; sub-MIN_SEC rows are timer
+noise and synthetic ``_kmeans_*`` grid rows are reported separately):
 this repo's queries are code-stable across most rounds, so a median far
 from 1.0 means the BOX was slower/faster, not the code — individual-row
 swings should be read against that baseline before chasing a
-"regression" (the r6→r8 MinHash swings were exactly this).
+"regression" (the r6→r8 MinHash swings were exactly this). The
+"box-adjusted new headline" divides the new headline by that median so
+cross-round headline deltas cancel the box factor.
 """
 
 from __future__ import annotations
@@ -66,7 +70,12 @@ def diff(old: dict, new: dict) -> dict:
     ratios = {k: qn[k] / qo[k] for k in qshared}
     sizable = {k: r for k, r in ratios.items() if max(qo[k], qn[k]) >= MIN_SEC}
     ranked = sorted(sizable.items(), key=lambda kv: -kv[1])
-    med = statistics.median(ratios.values()) if ratios else float("nan")
+    # the box-baseline median uses the same noise model as the rankings:
+    # sub-MIN_SEC rows are timer noise, and on a truncated/tiny-sf
+    # snapshot they would dominate an all-rows median that the output
+    # tells users to treat as the code-attributable divisor
+    med_src = sizable if sizable else ratios
+    med = statistics.median(med_src.values()) if med_src else float("nan")
     headline_old, headline_new = old.get("value"), new.get("value")
     # box-adjusted view: divide the new headline by the median query
     # ratio, so "the box was uniformly 1.24x slower" cancels out and the
@@ -86,9 +95,14 @@ def diff(old: dict, new: dict) -> dict:
         "median_warm_ratio": round(med, 3),
         "grid_ratios": {k: round(r, 3) for k, r in sorted(grid.items())},
         "n_shared": len(qshared),
-        "added": sorted(set(qn) - set(qo)),
-        "removed": sorted(set(qo) - set(qn)),
-        "errored_new": sorted(k for k, v in qn.items() if v < 0),
+        # membership lists are query-only too: a grid row present in one
+        # snapshot but truncated out of the other is not an added/removed
+        # QUERY, and grid rows never error (-1) meaningfully
+        "added": sorted(k for k in set(qn) - set(qo) if not k.startswith("_")),
+        "removed": sorted(k for k in set(qo) - set(qn) if not k.startswith("_")),
+        "errored_new": sorted(
+            k for k, v in qn.items() if v < 0 and not k.startswith("_")
+        ),
         "slowest_growth": [(k, round(r, 2)) for k, r in ranked[:8]],
         "best_improvement": [(k, round(r, 2)) for k, r in ranked[-8:][::-1]],
         "total_warm": (old.get("total_query_sec"), new.get("total_query_sec")),
@@ -118,8 +132,8 @@ def main(argv: list[str]) -> int:
             "  (new / median query ratio; compare THIS to old)"
         )
     print(
-        f"median warm ratio new/old over {d['n_shared']} shared query rows: "
-        f"{d['median_warm_ratio']}"
+        f"median warm ratio new/old over the sizable subset of "
+        f"{d['n_shared']} shared query rows: {d['median_warm_ratio']}"
         "  (far from 1.0 on code-stable rounds = box speed, not code)"
     )
     if d["grid_ratios"]:
