@@ -333,6 +333,36 @@ def test_cli_fidelity_vet_line_collapses_ranges_without_hiding_entries():
     assert "(+30 more entries)" in alt
 
 
+def test_cli_fidelity_vet_line_represents_every_index_property():
+    """Property: parsing the disclosure back (named paths + span ranges +
+    the '+N more' remainder) accounts for EXACTLY the vetted set — no
+    index is silently dropped, none invented (no Spark)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from k_means_in_mapreduce_spark.cli import _format_vetted
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sets(st.integers(min_value=1, max_value=500), min_size=1))
+    def check(idx):
+        line = _format_vetted("/tmp/out", idx)
+        body = line.split("overwrite/sweep: ", 1)[1]
+        m = re.search(r" \(\+(\d+) more entries\)$", body)
+        hidden = int(m.group(1)) if m else 0
+        body = body[: m.start()] if m else body
+        named: set[int] = set()
+        for item in body.split(", "):
+            lo_hi = [int(p[len("/tmp/out"):]) for p in item.split("..")]
+            lo, hi = lo_hi[0], lo_hi[-1]
+            named.update(range(lo, hi + 1))
+        assert named <= idx  # never invents an index
+        assert len(idx - named) == hidden  # remainder exactly counted
+
+    check()
+
+
 def test_cli_fidelity_refuses_unrelated_dirs_before_any_work(
     spark, tmp_path, capsys
 ):
