@@ -215,6 +215,33 @@ def test_incorporate_correctness_stamps_only_checked_known_rows(
     assert set(ledger["queries"]) == {q_green, q_noora}
 
 
+def test_stale_report_cli_reports_all_tiers_and_window_head():
+    """tools/stale_report.py is the per-round cone-flip detector: it must
+    account for every registered query across the three tiers and print
+    the derived window head — a silent regression here would mislead the
+    quiet-round discipline that keeps the gate ledger draining."""
+    import re
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(gl.REPO_ROOT, "tools", "stale_report.py"), "5"],
+        capture_output=True, text=True, check=True,
+    )
+    counts = {
+        m.group(1): int(m.group(2))
+        for m in re.finditer(r"(never-checked|changed-since-green|current-green)"
+                             r":\s+(\d+) / (\d+)", proc.stdout)
+    }
+    assert set(counts) == {"never-checked", "changed-since-green", "current-green"}
+    assert sum(counts.values()) == len(registry.QUERIES)
+    # head entries are real registered queries in the derived order
+    head = re.findall(r"\[.*?r\S*\] (\S+)", proc.stdout)
+    assert len(head) == 5
+    assert set(head) <= set(registry.QUERIES)
+    assert head == gl.derive_order(registry.QUERIES)[:5]
+
+
 def test_out_of_cone_modules_stay_out_of_every_query_fingerprint():
     """Editing cli.py / gate_ledger.py / bench-adjacent modules must NEVER
     flip registry queries to changed-since-green: the per-round gate
