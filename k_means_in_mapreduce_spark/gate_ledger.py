@@ -318,20 +318,43 @@ def query_tier(
     return 2, row.get("last_checked_round")
 
 
-def derive_order(registry_queries: dict) -> list[str]:
+def derive_order(
+    registry_queries: dict, oracles: "set[str] | dict | None" = None
+) -> list[str]:
     """Gate-window ordering: never-checked, changed-since-green, then
     oldest-green first; registration order breaks ties. Within the
     changed-since-green tier, oldest green ALSO comes first — when shared
     deps churn (flipping most queries to that tier) the bounded window
     must still rotate through the whole registry across rounds instead of
-    re-gating the same registration-order prefix forever."""
+    re-gating the same registration-order prefix forever.
+
+    Within each tier, queries WITHOUT a DuckDB oracle sort after every
+    hash-checkable companion (VERDICT r9 item 6): a no-oracle row can only
+    ever earn the driver's weaker rows-only check, so when a cone flip
+    floods the changed-since-green tier the bounded window should spend
+    its slots proving hash-green rows first — the no-oracle rows' actual
+    correctness evidence is their hash-checkable ``*_recall``/
+    ``*_precision``/``*_bound`` companions, which this ordering now
+    re-proves earlier in the drain cycle. ``oracles`` defaults to the
+    registry's ORACLES mapping (looked up lazily — registry.py must stay
+    out of this module's import graph so editing the ordering never flips
+    query fingerprints)."""
+    if oracles is None:
+        import importlib
+
+        oracles = importlib.import_module(f"{PACKAGE}.registry").ORACLES
     ledger = load_ledger()
     entries = ledger.get("queries", {})
     reg_pos = {n: i for i, n in enumerate(registry_queries)}
 
     def rank(name: str) -> tuple:
         tier, rnd = query_tier(name, registry_queries, entries)
-        return (tier, rnd if rnd is not None else 0, reg_pos[name])
+        return (
+            tier,
+            name not in oracles,
+            rnd if rnd is not None else 0,
+            reg_pos[name],
+        )
 
     return sorted(registry_queries, key=rank)
 

@@ -95,6 +95,56 @@ def test_derive_order_tiers(tmp_path, monkeypatch):
     assert gl.derive_order(fake_queries) == ["q_new", "q_changed", "q_old", "q_fresh"]
 
 
+def test_derive_order_defers_no_oracle_within_tier(tmp_path, monkeypatch):
+    """VERDICT r9 item 6: within a tier, queries with no DuckDB oracle
+    (the driver can only run its weaker rows-only check on them) sort
+    after EVERY hash-checkable query of that tier — even an
+    older-checked no-oracle row yields its slot — so a cone-flip drain
+    spends the bounded window on real hash verifications first. The
+    ordering among oracle rows and among no-oracle rows is untouched
+    (oldest round first, then registration order)."""
+
+    class FakeFn:
+        __module__ = "k_means_in_mapreduce_spark.registry"
+
+    fake_queries = {
+        n: FakeFn()
+        for n in ["a_chg_ora", "b_chg_noora", "c_grn_noora", "d_grn_ora"]
+    }
+    fp = gl.module_fingerprint("k_means_in_mapreduce_spark.registry")
+    ledger = {
+        "rounds_seen": [],
+        "queries": {
+            "a_chg_ora": {"last_checked_round": 5, "fingerprint": "stale"},
+            "b_chg_noora": {"last_checked_round": 2, "fingerprint": "stale"},
+            "c_grn_noora": {"last_checked_round": 2, "fingerprint": fp},
+            "d_grn_ora": {"last_checked_round": 5, "fingerprint": fp},
+        },
+    }
+    path = tmp_path / "GATE_LEDGER.json"
+    path.write_text(json.dumps(ledger))
+    monkeypatch.setattr(gl, "LEDGER_PATH", str(path))
+    # b (no-oracle, r2) trails a (oracle, r5) despite being older; same
+    # within the green tier for c vs d
+    order = gl.derive_order(fake_queries, oracles={"a_chg_ora", "d_grn_ora"})
+    assert order == ["a_chg_ora", "b_chg_noora", "d_grn_ora", "c_grn_noora"]
+
+
+def test_derive_order_live_no_oracle_rows_trail_their_tier():
+    """Against the real registry + committed ledger: inside every tier the
+    hash-checkable queries all precede the no-oracle ones, so the next
+    driver window is maximally hash-verifying."""
+    entries = gl.load_ledger().get("queries", {})
+    order = gl.derive_order(registry.QUERIES)
+    for tier_val in (0, 1, 2):
+        flags = [
+            n not in registry.ORACLES
+            for n in order
+            if gl.query_tier(n, registry.QUERIES, entries)[0] == tier_val
+        ]
+        assert flags == sorted(flags), f"tier {tier_val} interleaves no-oracle rows"
+
+
 def test_ledger_on_disk_covers_all_queries():
     # The committed ledger must have a row for every registered query except
     # ones added after the last incorporated round (those rank tier-0).
@@ -235,6 +285,15 @@ def test_stale_report_cli_reports_all_tiers_and_window_head():
     }
     assert set(counts) == {"never-checked", "changed-since-green", "current-green"}
     assert sum(counts.values()) == len(registry.QUERIES)
+    # the projected driver-window composition line is present and its
+    # per-bucket counts sum to the window size (or the whole registry)
+    m = re.search(
+        r"projected next gate window \(first (\d+) of derived order\): (.+)",
+        proc.stdout,
+    )
+    assert m, "projected-window line missing"
+    bucket_sum = sum(int(x) for x in re.findall(r"(\d+) (?:never|changed|current)", m.group(2)))
+    assert bucket_sum == int(m.group(1)) == min(50, len(registry.QUERIES))
     # head entries are real registered queries in the derived order
     head = re.findall(r"\[.*?r\S*\] (\S+)", proc.stdout)
     assert len(head) == 5

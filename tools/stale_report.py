@@ -4,11 +4,19 @@
 Prints how many registry queries are (0) never driver-checked,
 (1) changed-since-green (their transitive module fingerprint differs from
 the one recorded at their last green CORRECTNESS row), or (2) current-green,
-plus the head of the derived gate-window order — the rows the driver's
-bounded per-round window will check next. Run it before editing anything:
-an unexpected tier-1 jump means an edit landed inside the fingerprint cone
+the composition of the PROJECTED next gate window (the driver checks the
+first ~GATE_WINDOW rows of the derived order — so this is what the next
+round's CORRECTNESS file should contain if no cone is touched), plus the
+head of that order. Run it before editing anything: an unexpected tier-1
+jump means an edit landed inside the fingerprint cone
 (see k_means_in_mapreduce_spark/gate_ledger.py).
+
+Usage: stale_report.py [HEAD] [--window N]
+  HEAD        how many leading rows of the derived order to list (default 20)
+  --window N  projected driver window size for the composition summary
+              (default 50 — the size observed in every CORRECTNESS_r7..r9)
 """
+import argparse
 import collections
 import os
 import sys
@@ -20,9 +28,16 @@ from k_means_in_mapreduce_spark import registry  # noqa: E402
 
 TIER_NAMES = {0: "never-checked", 1: "changed-since-green", 2: "current-green"}
 
+# every driver round since the window stabilized (r7, r8, r9) gated exactly
+# this many queries; the summary is a projection, not a driver contract
+GATE_WINDOW = 50
+
 
 def main() -> None:
-    head = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    ap = argparse.ArgumentParser()
+    ap.add_argument("head", nargs="?", type=int, default=20)
+    ap.add_argument("--window", type=int, default=GATE_WINDOW)
+    args = ap.parse_args()
     entries = gl.load_ledger().get("queries", {})
     order = gl.derive_order(registry.QUERIES)
     tiers = collections.Counter()
@@ -34,10 +49,30 @@ def main() -> None:
     total = len(order)
     for t in (0, 1, 2):
         print(f"{TIER_NAMES[t]:>20}: {tiers.get(t, 0):3d} / {total}")
-    print(f"\ngate-window head (next {head} in derived order):")
-    for name in order[:head]:
+
+    window = order[: args.window]
+    comp = collections.Counter(
+        (info[n][0], n not in registry.ORACLES) for n in window
+    )
+    parts = [
+        f"{cnt} {TIER_NAMES[t]}{' no-oracle (rows-only)' if noora else ''}"
+        for (t, noora), cnt in sorted(comp.items())
+    ]
+    print(
+        f"\nprojected next gate window (first {len(window)} of derived "
+        f"order): " + ", ".join(parts)
+    )
+    if len(order) > len(window):
+        print(f"  first row past the window: {order[len(window)]}")
+
+    print(f"\ngate-window head (next {args.head} in derived order):")
+    for name in order[: args.head]:
         t, rnd = info[name]
-        print(f"  [{TIER_NAMES[t]:>19} r{rnd if rnd is not None else '-'}] {name}")
+        mark = "  (no-oracle)" if name not in registry.ORACLES else ""
+        print(
+            f"  [{TIER_NAMES[t]:>19} r{rnd if rnd is not None else '-'}] "
+            f"{name}{mark}"
+        )
 
 
 if __name__ == "__main__":
