@@ -44,11 +44,16 @@ def test_diff_median_ratio_and_rankings():
 
 def test_diff_all_tiny_rows_fall_back_to_all_rows_median():
     # when EVERY shared row is sub-MIN_SEC (tiny-sf snapshot) the median
-    # falls back to all rows rather than NaN
+    # falls back to all rows rather than NaN — but is FLAGGED as noise so
+    # the box-adjusted headline is not misread as a code signal (ADVICE r9)
     old = _snap({"a": 0.01, "b": 0.02})
     new = _snap({"a": 0.02, "b": 0.02})
     d = bench_diff.diff(old, new)
     assert d["median_warm_ratio"] == 1.5
+    assert d["median_from_noise_fallback"] is True
+    # a sizable shared row keeps the flag off
+    sane = bench_diff.diff(_snap({"a": 1.0}), _snap({"a": 1.0}))
+    assert sane["median_from_noise_fallback"] is False
 
 
 def test_diff_keeps_kmeans_grid_rows_out_of_the_query_median():
@@ -62,11 +67,24 @@ def test_diff_keeps_kmeans_grid_rows_out_of_the_query_median():
     assert d["grid_ratios"] == {"_kmeans_100k_per_iter_arrow": 10.0}
     assert all(not k.startswith("_") for k, _ in d["slowest_growth"])
     # grid rows present on one side only (e.g. truncated driver artifact)
-    # must not surface as added/removed/errored QUERY rows
+    # must not surface as added/removed/errored QUERY rows — but DO
+    # surface on the grid line as n/a (one-sided) / err (negative), so a
+    # renamed or newly-errored grid bench is visible (ADVICE r9)
     old2 = _snap({"a": 1.0, "_kmeans_400k_per_iter_arrow": 0.5})
     new2 = _snap({"a": 1.0, "_kmeans_grid_new": 0.5, "_kmeans_broken": -1.0})
     d2 = bench_diff.diff(old2, new2)
     assert d2["added"] == [] and d2["removed"] == [] and d2["errored_new"] == []
+    assert d2["grid_unratioed"] == {
+        "_kmeans_400k_per_iter_arrow": "n/a",
+        "_kmeans_broken": "err",
+        "_kmeans_grid_new": "n/a",
+    }
+    # a grid row errored (-1) on one side but present in both is err too
+    d3 = bench_diff.diff(
+        _snap({"_kmeans_g": 0.5}), _snap({"_kmeans_g": -1.0})
+    )
+    assert d3["grid_unratioed"] == {"_kmeans_g": "err"}
+    assert d["grid_unratioed"] == {}  # both-sides-positive: ratio only
 
 
 def test_diff_excludes_errored_rows_and_reports_membership():

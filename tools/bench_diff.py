@@ -67,6 +67,16 @@ def diff(old: dict, new: dict) -> dict:
     # the box baseline) and report them on their own line instead
     qshared = [k for k in shared if not k.startswith("_")]
     grid = {k: qn[k] / qo[k] for k in shared if k.startswith("_")}
+    # grid rows with no computable ratio — present on one side only (a
+    # rename, or truncated out of a driver artifact) or errored (-1):
+    # surfaced on the grid line as =n/a / =err so a broken grid bench is
+    # visible instead of silently vanishing from every output section
+    grid_bad = {}
+    for k in sorted(set(qo) | set(qn)):
+        if not k.startswith("_") or k in grid:
+            continue
+        vals = [v for v in (qo.get(k), qn.get(k)) if v is not None]
+        grid_bad[k] = "err" if any(v < 0 for v in vals) else "n/a"
     ratios = {k: qn[k] / qo[k] for k in qshared}
     sizable = {k: r for k, r in ratios.items() if max(qo[k], qn[k]) >= MIN_SEC}
     ranked = sorted(sizable.items(), key=lambda kv: -kv[1])
@@ -76,6 +86,10 @@ def diff(old: dict, new: dict) -> dict:
     # tells users to treat as the code-attributable divisor
     med_src = sizable if sizable else ratios
     med = statistics.median(med_src.values()) if med_src else float("nan")
+    # when NO shared row is sizable, the median comes from pure timer
+    # noise — still printed (it is all the data there is) but flagged so
+    # the box-adjusted headline is not read as a reliable code signal
+    med_from_noise = not sizable and bool(ratios)
     headline_old, headline_new = old.get("value"), new.get("value")
     # box-adjusted view: divide the new headline by the median query
     # ratio, so "the box was uniformly 1.24x slower" cancels out and the
@@ -93,7 +107,9 @@ def diff(old: dict, new: dict) -> dict:
             "metric": new.get("metric"),
         },
         "median_warm_ratio": round(med, 3),
+        "median_from_noise_fallback": med_from_noise,
         "grid_ratios": {k: round(r, 3) for k, r in sorted(grid.items())},
+        "grid_unratioed": grid_bad,
         "n_shared": len(qshared),
         # membership lists are query-only too: a grid row present in one
         # snapshot but truncated out of the other is not an added/removed
@@ -126,20 +142,30 @@ def main(argv: list[str]) -> int:
     print(f"old: {old_path}\nnew: {new_path}")
     h = d["headline"]
     print(f"headline {h['metric']}: {h['old']} -> {h['new']}")
+    noise_tag = (
+        "  [UNRELIABLE: median from sub-MIN_SEC noise rows — no sizable "
+        "shared row]"
+        if d["median_from_noise_fallback"]
+        else ""
+    )
     if h.get("new_box_adjusted") is not None:
         print(
             f"  box-adjusted new headline: {h['new_box_adjusted']}"
-            "  (new / median query ratio; compare THIS to old)"
+            "  (new / median query ratio; compare THIS to old)" + noise_tag
         )
     print(
         f"median warm ratio new/old over the sizable subset of "
         f"{d['n_shared']} shared query rows: {d['median_warm_ratio']}"
         "  (far from 1.0 on code-stable rounds = box speed, not code)"
+        + noise_tag
     )
-    if d["grid_ratios"]:
+    if d["grid_ratios"] or d["grid_unratioed"]:
+        entries = [f"{k}={r}" for k, r in d["grid_ratios"].items()] + [
+            f"{k}={tag}" for k, tag in d["grid_unratioed"].items()
+        ]
         print(
             "k-means grid ratios (reported separately, excluded from median): "
-            + ", ".join(f"{k}={r}" for k, r in d["grid_ratios"].items())
+            + ", ".join(entries)
         )
     print(f"total warm: {d['total_warm'][0]} -> {d['total_warm'][1]}")
     print(f"total cold: {d['total_cold'][0]} -> {d['total_cold'][1]}")
