@@ -117,8 +117,10 @@ def main(argv: list[str] | None = None) -> int:
 def _format_vetted(base_path: str, touchable: set[int]) -> str:
     """The pre-flight's one-line disclosure of every pre-existing
     ``<output><i>`` entry it vetted as overwrite/sweep-eligible.
-    Contiguous index runs collapse to ``<base>a..<base>b`` so a previous
-    1000-iteration run reads as one span instead of 1000 paths — but
+    Contiguous index runs collapse to shell-brace style ``<base>{a..b}``
+    (``<base>a..<base>b`` glued absolute paths together: ``/tmp/res1..
+    /tmp/res3`` read as one path with a ``..`` component — ADVICE r9) so a
+    previous 1000-iteration run reads as one span instead of 1000 paths — but
     every index is REPRESENTED (a truncating cap would destroy entries
     it never named, defeating the disclosure); only a pathological
     alternating-gap layout overflows the 20-span cap, and the summary
@@ -131,7 +133,7 @@ def _format_vetted(base_path: str, touchable: set[int]) -> str:
         else:
             spans.append((i, i))
     named = ", ".join(
-        f"{base_path}{a}" if a == b else f"{base_path}{a}..{base_path}{b}"
+        f"{base_path}{a}" if a == b else f"{base_path}{{{a}..{b}}}"
         for a, b in spans[:20]
     )
     rest = sum(b - a + 1 for a, b in spans[20:])

@@ -301,10 +301,10 @@ def test_cli_fidelity_writes_per_iteration_dirs(spark, tmp_path, capsys):
     # the re-run found <out>1..<out>4 pre-existing: the pre-flight must
     # name them as overwrite/sweep-eligible on stderr BEFORE destroying
     # anything, so a vetted-but-foreign sibling output is visible
-    # (ADVICE r8; contiguous indices collapse to one span)
+    # (ADVICE r8; contiguous indices collapse to one brace-style span)
     err = capsys.readouterr().err
     assert "vetted" in err
-    assert f"{out}1..{out}4" in err
+    assert f"{out}{{1..4}}" in err
     # default run writes no per-iteration dirs
     out2 = str(tmp_path / "cents_plain")
     assert main([inp, "3", "4", out2, "64", "0.0", "2"]) == 0
@@ -321,12 +321,14 @@ def test_cli_fidelity_vet_line_collapses_ranges_without_hiding_entries():
 
     short = _format_vetted("/tmp/res", {3, 1})
     assert "/tmp/res1, /tmp/res3" in short and "more" not in short
+    # spans render shell-brace style so the range delimiter never glues
+    # two absolute paths into one ".."-containing pseudo-path (ADVICE r9)
     long = _format_vetted("/tmp/res", set(range(1, 1001)))
-    assert "/tmp/res1../tmp/res1000" in long and "more" not in long
+    assert "/tmp/res{1..1000}" in long and "more" not in long
     # gapped layout: each gap starts a new span
     gapped = _format_vetted("/tmp/res", {1, 2, 3, 7, 9, 10})
-    assert "/tmp/res1../tmp/res3" in gapped
-    assert "/tmp/res7, /tmp/res9../tmp/res10" in gapped
+    assert "/tmp/res{1..3}" in gapped
+    assert "/tmp/res7, /tmp/res{9..10}" in gapped
     # pathological alternating gaps overflow the span cap; the summary
     # still accounts for every hidden entry by exact count
     alt = _format_vetted("/tmp/res", set(range(1, 101, 2)))  # 50 spans
@@ -354,8 +356,11 @@ def test_cli_fidelity_vet_line_represents_every_index_property():
         body = body[: m.start()] if m else body
         named: set[int] = set()
         for item in body.split(", "):
-            lo_hi = [int(p[len("/tmp/out"):]) for p in item.split("..")]
-            lo, hi = lo_hi[0], lo_hi[-1]
+            span = re.fullmatch(r"/tmp/out\{(\d+)\.\.(\d+)\}", item)
+            if span:
+                lo, hi = int(span.group(1)), int(span.group(2))
+            else:
+                lo = hi = int(item[len("/tmp/out"):])
             named.update(range(lo, hi + 1))
         assert named <= idx  # never invents an index
         assert len(idx - named) == hidden  # remainder exactly counted
