@@ -328,17 +328,24 @@ def derive_order(
     must still rotate through the whole registry across rounds instead of
     re-gating the same registration-order prefix forever.
 
-    Within each tier, queries WITHOUT a DuckDB oracle sort after every
-    hash-checkable companion (VERDICT r9 item 6): a no-oracle row can only
-    ever earn the driver's weaker rows-only check, so when a cone flip
-    floods the changed-since-green tier the bounded window should spend
-    its slots proving hash-green rows first — the no-oracle rows' actual
+    Within the two TRANSIENT tiers (never-checked, changed-since-green),
+    queries WITHOUT a DuckDB oracle sort after every hash-checkable
+    companion (VERDICT r9 item 6): a no-oracle row can only ever earn the
+    driver's weaker rows-only check, so when a cone flip floods the
+    changed-since-green tier the bounded window should spend its slots
+    proving hash-green rows first — the no-oracle rows' actual
     correctness evidence is their hash-checkable ``*_recall``/
     ``*_precision``/``*_bound`` companions, which this ordering now
-    re-proves earlier in the drain cycle. ``oracles`` defaults to the
-    registry's ORACLES mapping (looked up lazily — registry.py must stay
-    out of this module's import graph so editing the ordering never flips
-    query fingerprints)."""
+    re-proves earlier in the drain cycle. Both tiers DRAIN (a checked row
+    leaves them), so the deferral is a delay, never an exclusion. The
+    current-green tier deliberately keeps its oldest-round-first rotation
+    with the no-oracle flag only breaking same-round ties: ranking the
+    flag above the round there would let the 97 oracle rows monopolize
+    the ~50-slot window forever and the 9 rows-only queries would never
+    be re-gated in steady state. ``oracles`` defaults to the registry's
+    ORACLES mapping (looked up lazily — registry.py must stay out of this
+    module's import graph so editing the ordering never flips query
+    fingerprints)."""
     if oracles is None:
         import importlib
 
@@ -349,10 +356,12 @@ def derive_order(
 
     def rank(name: str) -> tuple:
         tier, rnd = query_tier(name, registry_queries, entries)
+        no_oracle = name not in oracles
         return (
             tier,
-            name not in oracles,
+            tier != 2 and no_oracle,
             rnd if rnd is not None else 0,
+            no_oracle,
             reg_pos[name],
         )
 

@@ -88,11 +88,14 @@ def test_diff_keeps_kmeans_grid_rows_out_of_the_query_median():
 
 
 def test_diff_excludes_errored_rows_and_reports_membership():
-    old = _snap({"a": 1.0, "gone": 0.2})
-    new = _snap({"a": 1.0, "fresh": 0.2, "broken": -1.0})
+    old = _snap({"a": 1.0, "gone": 0.2, "was_broken": -1.0})
+    new = _snap({"a": 1.0, "fresh": 0.2, "broken": -1.0, "was_broken": 2.0})
     d = bench_diff.diff(old, new)
     assert d["n_shared"] == 1  # only 'a'; -1 marks an errored row
     assert d["errored_new"] == ["broken"]
+    # errored only in OLD: shared-excluded and in neither added/removed —
+    # must still be NAMED so its ratio-less "recovery" is visible
+    assert d["errored_old"] == ["was_broken"]
     assert d["added"] == ["broken", "fresh"]
     assert d["removed"] == ["gone"]
 

@@ -95,22 +95,28 @@ def test_derive_order_tiers(tmp_path, monkeypatch):
     assert gl.derive_order(fake_queries) == ["q_new", "q_changed", "q_old", "q_fresh"]
 
 
-def test_derive_order_defers_no_oracle_within_tier(tmp_path, monkeypatch):
-    """VERDICT r9 item 6: within a tier, queries with no DuckDB oracle
-    (the driver can only run its weaker rows-only check on them) sort
-    after EVERY hash-checkable query of that tier — even an
-    older-checked no-oracle row yields its slot — so a cone-flip drain
-    spends the bounded window on real hash verifications first. The
-    ordering among oracle rows and among no-oracle rows is untouched
-    (oldest round first, then registration order)."""
+def test_derive_order_defers_no_oracle_in_transient_tiers_only(
+    tmp_path, monkeypatch
+):
+    """VERDICT r9 item 6: in the DRAINING tiers (never-checked,
+    changed-since-green), queries with no DuckDB oracle (the driver can
+    only run its weaker rows-only check on them) sort after EVERY
+    hash-checkable query of the tier — even an older-checked no-oracle
+    row yields its slot — so a cone-flip drain spends the bounded window
+    on real hash verifications first. In the current-green tier the
+    oldest-round rotation stays primary (the flag only breaks same-round
+    ties): demoting the flag above the round there would let the oracle
+    majority monopolize the window and the rows-only queries would never
+    be re-gated again in steady state."""
 
     class FakeFn:
         __module__ = "k_means_in_mapreduce_spark.registry"
 
-    fake_queries = {
-        n: FakeFn()
-        for n in ["a_chg_ora", "b_chg_noora", "c_grn_noora", "d_grn_ora"]
-    }
+    names = [
+        "a_chg_ora", "b_chg_noora", "c_grn_noora", "d_grn_ora",
+        "e_grn_noora_tie", "f_new_noora", "g_new_ora",
+    ]
+    fake_queries = {n: FakeFn() for n in names}
     fp = gl.module_fingerprint("k_means_in_mapreduce_spark.registry")
     ledger = {
         "rounds_seen": [],
@@ -119,30 +125,43 @@ def test_derive_order_defers_no_oracle_within_tier(tmp_path, monkeypatch):
             "b_chg_noora": {"last_checked_round": 2, "fingerprint": "stale"},
             "c_grn_noora": {"last_checked_round": 2, "fingerprint": fp},
             "d_grn_ora": {"last_checked_round": 5, "fingerprint": fp},
+            "e_grn_noora_tie": {"last_checked_round": 5, "fingerprint": fp},
         },
     }
     path = tmp_path / "GATE_LEDGER.json"
     path.write_text(json.dumps(ledger))
     monkeypatch.setattr(gl, "LEDGER_PATH", str(path))
-    # b (no-oracle, r2) trails a (oracle, r5) despite being older; same
-    # within the green tier for c vs d
-    order = gl.derive_order(fake_queries, oracles={"a_chg_ora", "d_grn_ora"})
-    assert order == ["a_chg_ora", "b_chg_noora", "d_grn_ora", "c_grn_noora"]
+    oracles = {"a_chg_ora", "d_grn_ora", "g_new_ora"}
+    order = gl.derive_order(fake_queries, oracles=oracles)
+    assert order == [
+        # tier 0: oracle first despite later registration
+        "g_new_ora", "f_new_noora",
+        # tier 1: b (no-oracle, r2) trails a (oracle, r5) despite age
+        "a_chg_ora", "b_chg_noora",
+        # tier 2: round rotation wins — c (r2, no-oracle) precedes the r5
+        # rows; within the r5 tie the oracle row precedes the no-oracle one
+        "c_grn_noora", "d_grn_ora", "e_grn_noora_tie",
+    ]
 
 
-def test_derive_order_live_no_oracle_rows_trail_their_tier():
-    """Against the real registry + committed ledger: inside every tier the
-    hash-checkable queries all precede the no-oracle ones, so the next
-    driver window is maximally hash-verifying."""
+def test_derive_order_live_no_oracle_rows_trail_transient_tiers():
+    """Against the real registry + committed ledger: inside the draining
+    tiers the hash-checkable queries all precede the no-oracle ones (the
+    next driver window is maximally hash-verifying), while the
+    current-green tier stays a pure oldest-round rotation so rows-only
+    queries are never starved out of re-gating."""
     entries = gl.load_ledger().get("queries", {})
     order = gl.derive_order(registry.QUERIES)
-    for tier_val in (0, 1, 2):
-        flags = [
-            n not in registry.ORACLES
-            for n in order
-            if gl.query_tier(n, registry.QUERIES, entries)[0] == tier_val
-        ]
+    by_tier = {0: [], 1: [], 2: []}
+    for n in order:
+        by_tier[gl.query_tier(n, registry.QUERIES, entries)[0]].append(n)
+    for tier_val in (0, 1):
+        flags = [n not in registry.ORACLES for n in by_tier[tier_val]]
         assert flags == sorted(flags), f"tier {tier_val} interleaves no-oracle rows"
+    rounds = [
+        gl.query_tier(n, registry.QUERIES, entries)[1] for n in by_tier[2]
+    ]
+    assert rounds == sorted(rounds), "green tier is not oldest-round-first"
 
 
 def test_ledger_on_disk_covers_all_queries():
@@ -288,7 +307,7 @@ def test_stale_report_cli_reports_all_tiers_and_window_head():
     # the projected driver-window composition line is present and its
     # per-bucket counts sum to the window size (or the whole registry)
     m = re.search(
-        r"projected next gate window \(first (\d+) of derived order\): (.+)",
+        r"projected next gate window \(first (\d+) of driver order\): (.+)",
         proc.stdout,
     )
     assert m, "projected-window line missing"
@@ -298,7 +317,9 @@ def test_stale_report_cli_reports_all_tiers_and_window_head():
     head = re.findall(r"\[.*?r\S*\] (\S+)", proc.stdout)
     assert len(head) == 5
     assert set(head) <= set(registry.QUERIES)
-    assert head == gl.derive_order(registry.QUERIES)[:5]
+    # the report projects what the DRIVER gates: ordered_queries() (the
+    # override-aware ordering), not the bare derived order
+    assert head == list(registry.ordered_queries())[:5]
 
 
 def test_out_of_cone_modules_stay_out_of_every_query_fingerprint():

@@ -113,11 +113,17 @@ def diff(old: dict, new: dict) -> dict:
         "n_shared": len(qshared),
         # membership lists are query-only too: a grid row present in one
         # snapshot but truncated out of the other is not an added/removed
-        # QUERY, and grid rows never error (-1) meaningfully
+        # QUERY; one-sided/errored grid rows surface via grid_unratioed
         "added": sorted(k for k in set(qn) - set(qo) if not k.startswith("_")),
         "removed": sorted(k for k in set(qo) - set(qn) if not k.startswith("_")),
         "errored_new": sorted(
             k for k, v in qn.items() if v < 0 and not k.startswith("_")
+        ),
+        # a query errored only in the OLD run is excluded from `shared`
+        # (no computable ratio) yet is in neither added nor removed — name
+        # it so its "recovery" timing is read without an old baseline
+        "errored_old": sorted(
+            k for k, v in qo.items() if v < 0 and not k.startswith("_")
         ),
         "slowest_growth": [(k, round(r, 2)) for k, r in ranked[:8]],
         "best_improvement": [(k, round(r, 2)) for k, r in ranked[-8:][::-1]],
@@ -171,6 +177,10 @@ def main(argv: list[str]) -> int:
     print(f"total cold: {d['total_cold'][0]} -> {d['total_cold'][1]}")
     if d["errored_new"]:
         print(f"ERRORED in new: {d['errored_new']}")
+    if d["errored_old"]:
+        print(
+            f"errored in OLD (ratio unavailable for these): {d['errored_old']}"
+        )
 
     def _capped(rows):
         # a driver artifact's compact line truncates `queries` to the

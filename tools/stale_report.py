@@ -39,7 +39,11 @@ def main() -> None:
     ap.add_argument("--window", type=int, default=GATE_WINDOW)
     args = ap.parse_args()
     entries = gl.load_ledger().get("queries", {})
-    order = gl.derive_order(registry.QUERIES)
+    # ordered_queries(), not raw derive_order(): the driver gates the
+    # former, which leads with gate_ledger.PRIORITY_OVERRIDE entries —
+    # projecting from the bare derived order would silently disagree with
+    # the actual window whenever the override list is populated
+    order = list(registry.ordered_queries())
     tiers = collections.Counter()
     info = {}
     for name in order:
@@ -59,7 +63,7 @@ def main() -> None:
         for (t, noora), cnt in sorted(comp.items())
     ]
     print(
-        f"\nprojected next gate window (first {len(window)} of derived "
+        f"\nprojected next gate window (first {len(window)} of driver "
         f"order): " + ", ".join(parts)
     )
     if len(order) > len(window):
