@@ -1,0 +1,101 @@
+"""tools/bench_trend.py: cross-round snapshot manifest + chained-median trend
+(no Spark). Unit-tests the round attribution and median chaining on
+synthetic snapshots, plus a live smoke over the real repo history."""
+
+import json
+import os
+import subprocess
+import sys
+
+TOOLS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+)
+sys.path.insert(0, TOOLS)
+
+import bench_trend  # noqa: E402
+
+REPO = os.path.dirname(TOOLS)
+
+
+def test_round_after_tracks_driver_commits_from_full_history():
+    # driver "round N:" commits advance the closed-round counter even when
+    # they touch no .benchmarks file; local commits inherit the last one
+    seq = [
+        ("c1", "initial scaffold"),
+        ("c2", "round 1: verdict/advice"),
+        ("c3", "add an operator"),
+        ("c4", "round 2: verdict/advice"),
+        ("c5", "round 3: end-of-round snapshot (282 turns)"),
+        ("c6", "record a local bench"),
+    ]
+    closed = bench_trend.round_after(seq)
+    assert closed["c1"] == 0  # before any driver round closed
+    assert closed["c2"] == 1  # the round-1 commit itself
+    assert closed["c3"] == 1  # local work during round 2
+    assert closed["c5"] == 3  # any "round N:" subject counts
+    assert closed["c6"] == 3  # local work during round 4
+
+
+def _snap_file(tmp_path, name, queries, value):
+    doc = {
+        "metric": "m",
+        "value": value,
+        "queries": queries,
+        "total_query_sec": sum(queries.values()),
+    }
+    bdir = tmp_path / ".benchmarks"
+    bdir.mkdir(exist_ok=True)
+    (bdir / name).write_text(json.dumps(doc))
+    return {"file": f".benchmarks/{name}", "sf": 0.1, "round": 1,
+            "kind": "local", "metric": "m", "headline": value}
+
+
+def test_trend_chains_pairwise_medians_into_cumulative_box_factor(
+    tmp_path, monkeypatch
+):
+    # three snapshots: box slows 2x between #1 and #2 (all rows double),
+    # then holds; the chained cum factor must reach 2.0 and stay, and the
+    # box-adjusted headline must cancel the slowdown (1.0 -> ~1.05 -> ...)
+    e1 = _snap_file(tmp_path, "bench_1_sf0.1.json", {"a": 1.0, "b": 2.0}, 1.0)
+    e2 = _snap_file(tmp_path, "bench_2_sf0.1.json", {"a": 2.0, "b": 4.0}, 2.1)
+    e3 = _snap_file(tmp_path, "bench_3_sf0.1.json", {"a": 2.0, "b": 4.0}, 2.0)
+    monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
+    rows = bench_trend.trend([e1, e2, e3], sf=0.1)
+    assert [r["cum_box_factor"] for r in rows] == [1.0, 2.0, 2.0]
+    assert rows[0]["headline_box_adjusted"] == 1.0
+    assert rows[1]["headline_box_adjusted"] == round(2.1 / 2.0, 4)
+    assert rows[2]["headline_box_adjusted"] == 1.0
+    assert "median_vs_prev" not in rows[0]  # first snapshot has no pair
+    assert rows[1]["median_vs_prev"] == 2.0
+    # other-sf and unreadable entries are excluded from the tier
+    e_other = dict(e1, sf=0.01)
+    assert len(bench_trend.trend([e_other, e2, e3], sf=0.1)) == 2
+
+
+def test_live_trend_and_manifest_round_attribution():
+    """Smoke over the real repo: every snapshot gets a round and a kind,
+    driver-gate rows only come from `round N:` commits, and the trend's
+    cum factor stays positive (a chain of valid medians)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "bench_trend.py"),
+         "--json", "--no-manifest"],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    doc = json.loads(proc.stdout)
+    assert doc["sf"] == 0.1
+    rows = doc["trend"]
+    assert len(rows) >= 2  # repo history has many sf0.1 snapshots
+    for r in rows:
+        assert r["kind"] in ("driver-gate", "local")
+        assert isinstance(r["round"], int) and r["round"] >= 1
+        assert r["cum_box_factor"] > 0
+    # rounds never decrease along the (chronological) trend
+    rounds = [r["round"] for r in rows]
+    assert rounds == sorted(rounds)
+    # --no-manifest must not have rewritten the manifest: the file, if
+    # present, is whatever a prior explicit run left (content unasserted)
+    proc2 = subprocess.run(
+        f"{sys.executable} {os.path.join(TOOLS, 'bench_trend.py')} | head -3",
+        shell=True, capture_output=True, text=True, cwd=REPO,
+    )
+    assert proc2.returncode == 0 and "Traceback" not in proc2.stderr

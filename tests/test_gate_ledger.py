@@ -322,6 +322,43 @@ def test_stale_report_cli_reports_all_tiers_and_window_head():
     assert head == list(registry.ordered_queries())[:5]
 
 
+def test_stale_report_json_mode_matches_text_tiers():
+    """`stale_report --json` (ADVICE r10 item 5b) lets the driver-sim
+    assert the projected window mechanically; its tier counts and window
+    must agree with the registry and the override-aware driver order."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(gl.REPO_ROOT, "tools", "stale_report.py"),
+            "--json",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    doc = json.loads(proc.stdout)
+    assert doc["total"] == len(registry.QUERIES)
+    assert sum(doc["tiers"].values()) == doc["total"]
+    assert set(doc["tiers"]) == {
+        "never-checked", "changed-since-green", "current-green",
+    }
+    assert doc["window_size"] == len(doc["window"]) == min(
+        50, len(registry.QUERIES)
+    )
+    names = [w["name"] for w in doc["window"]]
+    assert names == list(registry.ordered_queries())[: doc["window_size"]]
+    for w in doc["window"]:
+        assert w["tier"] in doc["tiers"]
+        assert w["oracle"] == (w["name"] in registry.ORACLES)
+    if len(registry.QUERIES) > doc["window_size"]:
+        assert (
+            doc["first_past_window"]
+            == list(registry.ordered_queries())[doc["window_size"]]
+        )
+
+
 def test_out_of_cone_modules_stay_out_of_every_query_fingerprint():
     """Editing cli.py / gate_ledger.py / bench-adjacent modules must NEVER
     flip registry queries to changed-since-green: the per-round gate

@@ -1,0 +1,239 @@
+#!/usr/bin/env python3
+"""Cross-round bench trend: manifest every ``.benchmarks/`` snapshot, chain medians.
+
+``bench_diff.py`` compares exactly two snapshots; its median warm ratio
+cancels the box-speed factor for ONE hop. This tool extends that to the
+whole history:
+
+1. **Manifest** — walks git history for ``.benchmarks/*.json`` additions
+   and writes ``.benchmarks/MANIFEST.json``: one entry per snapshot with
+   its adding commit, the round it belongs to, and whether it is the
+   driver's per-round gate snapshot (added by a ``round N:`` driver
+   commit) or a local in-round run (added by any other commit; its round
+   is the round in progress = last driver round + 1).
+2. **Trend** — for one sf tier (default sf0.1), chains consecutive-pair
+   ``bench_diff.diff`` medians into a cumulative box factor, so every
+   snapshot's headline can be read box-adjusted against the FIRST
+   snapshot's box speed, not just its immediate predecessor's. A code
+   change shows up as a step in the adjusted headline; a slow box shows
+   up in the raw headline only.
+
+Usage:
+    python tools/bench_trend.py [--sf 0.1] [--json] [--no-manifest]
+
+``--no-manifest`` skips rewriting MANIFEST.json (read-only trend print).
+The chained median inherits bench_diff's caveats: hops whose shared
+sizable row set is empty fall back to noise rows and are flagged ``~``;
+treat the cumulative factor after such a hop as approximate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+sys.path.insert(0, TOOLS)
+
+import bench_diff  # noqa: E402
+
+DRIVER_RE = re.compile(r"^round (\d+):")
+SF_RE = re.compile(r"_sf([0-9.]+)\.json$")
+
+
+def round_after(commit_seq: list[tuple[str, str]]) -> dict[str, int]:
+    """Map every commit hash -> the driver round last CLOSED at that commit.
+
+    Built from the FULL first-parent history, not the .benchmarks-filtered
+    one — driver ``round N:`` commits that added no snapshot still advance
+    the round counter, otherwise early local snapshots get attributed to
+    round 1 forever.
+    """
+    closed = 0
+    out = {}
+    for h, subject in commit_seq:
+        m = DRIVER_RE.match(subject)
+        if m:
+            closed = int(m.group(1))
+        out[h] = closed
+    return out
+
+
+def snapshot_history() -> list[dict]:
+    """Chronological (oldest-first) additions of .benchmarks/*.json files."""
+    full = subprocess.run(
+        ["git", "-C", REPO, "log", "--reverse", "--format=%H%x00%s"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    commit_seq = [
+        tuple(line.split("\x00", 1)) for line in full.splitlines() if "\x00" in line
+    ]
+    closed_at = round_after(commit_seq)
+    out = subprocess.run(
+        [
+            "git",
+            "-C",
+            REPO,
+            "log",
+            "--reverse",
+            "--diff-filter=A",
+            "--format=%x01%H%x00%s",
+            "--name-only",
+            "--",
+            ".benchmarks/",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    entries: list[dict] = []
+    commit = subject = None
+    for line in out.splitlines():
+        if line.startswith("\x01"):
+            commit, subject = line[1:].split("\x00", 1)
+            continue
+        line = line.strip()
+        if not line.endswith(".json") or not line.startswith(".benchmarks/"):
+            continue
+        m = SF_RE.search(line)
+        entries.append(
+            {
+                "file": line,
+                "commit": commit,
+                "subject": subject,
+                "sf": float(m.group(1)) if m else None,
+            }
+        )
+    # round attribution: a "round N:" commit archives round N's gate
+    # snapshot; anything committed after it (until "round N+1:") ran
+    # during round N+1's work period — judged against the FULL history's
+    # round markers, since driver commits need not touch .benchmarks/
+    for e in entries:
+        m = DRIVER_RE.match(e["subject"])
+        if m:
+            e["round"] = int(m.group(1))
+            e["kind"] = "driver-gate"
+        else:
+            e["round"] = closed_at.get(e["commit"], 0) + 1
+            e["kind"] = "local"
+    return entries
+
+
+def enrich(entries: list[dict]) -> list[dict]:
+    """Attach headline/row-count fields from each snapshot's contents."""
+    for e in entries:
+        path = os.path.join(REPO, e["file"])
+        if not os.path.exists(path):  # deleted later in history
+            e["missing"] = True
+            continue
+        try:
+            doc = bench_diff.load_snapshot(path)
+        except SystemExit:
+            e["unparseable"] = True
+            continue
+        e["metric"] = doc.get("metric")
+        e["headline"] = doc.get("value")
+        e["total_warm"] = doc.get("total_query_sec")
+        e["n_queries"] = len(doc.get("queries", {}))
+    return entries
+
+
+def trend(entries: list[dict], sf: float) -> list[dict]:
+    """Chain consecutive-pair medians over one sf tier's snapshots."""
+    tier = [
+        e
+        for e in entries
+        if e.get("sf") == sf and not e.get("missing") and not e.get("unparseable")
+    ]
+    rows: list[dict] = []
+    prev_doc = None
+    cum = 1.0
+    for e in tier:
+        doc = bench_diff.load_snapshot(os.path.join(REPO, e["file"]))
+        row = {
+            "file": os.path.basename(e["file"]),
+            "round": e["round"],
+            "kind": e["kind"],
+            "metric": e.get("metric"),
+            "headline": e.get("headline"),
+            "total_warm": e.get("total_warm"),
+            "n_queries": e.get("n_queries"),
+        }
+        if prev_doc is not None:
+            d = bench_diff.diff(prev_doc, doc)
+            med = d["median_warm_ratio"]
+            row["median_vs_prev"] = med
+            row["median_from_noise"] = d["median_from_noise_fallback"]
+            if med == med and med > 0:  # not NaN
+                cum *= med
+        row["cum_box_factor"] = round(cum, 3)
+        if row["headline"] is not None and cum > 0:
+            row["headline_box_adjusted"] = round(row["headline"] / cum, 4)
+        rows.append(row)
+        prev_doc = doc
+    return rows
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.1)
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--no-manifest", action="store_true")
+    args = ap.parse_args(argv)
+
+    entries = enrich(snapshot_history())
+    if not args.no_manifest:
+        manifest_path = os.path.join(REPO, ".benchmarks", "MANIFEST.json")
+        with open(manifest_path, "w") as fh:
+            json.dump({"snapshots": entries}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+
+    rows = trend(entries, args.sf)
+    if args.json:
+        print(json.dumps({"sf": args.sf, "trend": rows}))
+        return 0
+
+    if not args.no_manifest:
+        print(f"manifest: .benchmarks/MANIFEST.json ({len(entries)} snapshots)")
+    print(
+        f"sf{args.sf} trend ({len(rows)} snapshots; cum = chained median "
+        "warm ratio vs FIRST snapshot's box; adj = headline / cum):"
+    )
+    print(
+        f"  {'round':>6} {'kind':<11} {'headline':>9} {'med/prev':>9} "
+        f"{'cum':>7} {'adj':>8}  file"
+    )
+    for r in rows:
+        med = r.get("median_vs_prev")
+        noise = "~" if r.get("median_from_noise") else ""
+        print(
+            f"  {('r' + str(r['round'])):>6} {r['kind']:<11} "
+            f"{r['headline'] if r['headline'] is not None else '-':>9} "
+            f"{(str(med) + noise) if med is not None else '-':>9} "
+            f"{r['cum_box_factor']:>7} "
+            f"{r.get('headline_box_adjusted', '-'):>8}  {r['file']}"
+        )
+    metrics = {r["metric"] for r in rows}
+    if len(metrics) > 1:
+        print(
+            "note: headline metric changed across snapshots "
+            f"({', '.join(sorted(m for m in metrics if m))}) — compare adj "
+            "only within one metric's span"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    try:
+        raise SystemExit(main(sys.argv[1:]))
+    except BrokenPipeError:
+        # downstream `| head` closed the pipe — normal CLI usage
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        raise SystemExit(0)

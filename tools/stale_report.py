@@ -11,13 +11,18 @@ head of that order. Run it before editing anything: an unexpected tier-1
 jump means an edit landed inside the fingerprint cone
 (see k_means_in_mapreduce_spark/gate_ledger.py).
 
-Usage: stale_report.py [HEAD] [--window N]
+Usage: stale_report.py [HEAD] [--window N] [--json]
   HEAD        how many leading rows of the derived order to list (default 20)
   --window N  projected driver window size for the composition summary
               (default 50 — the size observed in every CORRECTNESS_r7..r9)
+  --json      emit one machine-readable JSON object instead of text, so a
+              driver-sim can assert the projected window mechanically
+              (tiers, full projected window with per-query tier/round/
+              oracle flags, first row past the window)
 """
 import argparse
 import collections
+import json
 import os
 import sys
 
@@ -37,6 +42,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("head", nargs="?", type=int, default=20)
     ap.add_argument("--window", type=int, default=GATE_WINDOW)
+    ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
     entries = gl.load_ledger().get("queries", {})
     # ordered_queries(), not raw derive_order(): the driver gates the
@@ -51,10 +57,37 @@ def main() -> None:
         tiers[t] += 1
         info[name] = (t, rnd)
     total = len(order)
+    window = order[: args.window]
+
+    if args.json:
+        print(
+            json.dumps(
+                {
+                    "total": total,
+                    "tiers": {
+                        TIER_NAMES[t]: tiers.get(t, 0) for t in (0, 1, 2)
+                    },
+                    "window_size": len(window),
+                    "window": [
+                        {
+                            "name": n,
+                            "tier": TIER_NAMES[info[n][0]],
+                            "last_green_round": info[n][1],
+                            "oracle": n in registry.ORACLES,
+                        }
+                        for n in window
+                    ],
+                    "first_past_window": (
+                        order[len(window)] if len(order) > len(window) else None
+                    ),
+                }
+            )
+        )
+        return
+
     for t in (0, 1, 2):
         print(f"{TIER_NAMES[t]:>20}: {tiers.get(t, 0):3d} / {total}")
 
-    window = order[: args.window]
     comp = collections.Counter(
         (info[n][0], n not in registry.ORACLES) for n in window
     )
