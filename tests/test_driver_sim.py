@@ -1,0 +1,58 @@
+"""tools/driver_sim.py: the one-command grading-driver simulation.
+
+Unit-tests the oracle-compare model and the subset selection (no Spark —
+the full end-to-end path is exercised by running the tool itself, which
+the verify recipe does every round)."""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+TOOLS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+)
+sys.path.insert(0, TOOLS)
+
+import driver_sim  # noqa: E402
+
+from k_means_in_mapreduce_spark import registry  # noqa: E402
+
+
+def test_compare_is_order_insensitive_and_float_tolerant():
+    s = pd.DataFrame({"k": ["b", "a"], "v": [2.0, 1.0 + 1e-12]})
+    o = pd.DataFrame({"v": [1.0, 2.0], "k": ["a", "b"]})  # cols + rows differ
+    driver_sim.compare(s, o, "ok")  # no raise
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        (pd.DataFrame({"k": ["a", "b"], "v": [1.0, 9.0]}), "float col v"),
+        (pd.DataFrame({"k": ["a", "c"], "v": [1.0, 2.0]}), "col k"),
+        (pd.DataFrame({"k": ["a"], "v": [1.0]}), "rows"),
+        (pd.DataFrame({"k": ["a", "b"], "x": [1.0, 2.0]}), "columns"),
+    ],
+)
+def test_compare_raises_on_each_mismatch_kind(bad, msg):
+    good = pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
+    with pytest.raises(AssertionError, match=msg):
+        driver_sim.compare(good, bad, "q")
+
+
+def test_select_names_subsets_follow_the_gate_ledger_projection():
+    qs = registry.QUERIES
+    assert driver_sim.select_names(qs, "all", []) == sorted(qs)
+    # window = exactly the first 50 of the driver's override-aware order,
+    # i.e. what stale_report projects as the next gate window
+    window = driver_sim.select_names(qs, "window", [])
+    assert window == list(registry.ordered_queries())[:50]
+    # stale ⊆ window head whenever the backlog fits one window
+    stale = driver_sim.select_names(qs, "stale", [])
+    assert set(stale) <= set(registry.QUERIES)
+    # explicit names win over subset, unknown names fail loudly
+    some = sorted(qs)[:2]
+    assert driver_sim.select_names(qs, "window", some) == some
+    with pytest.raises(SystemExit):
+        driver_sim.select_names(qs, "all", ["not_a_query"])
