@@ -48,9 +48,25 @@ def test_select_names_subsets_follow_the_gate_ledger_projection():
     # i.e. what stale_report projects as the next gate window
     window = driver_sim.select_names(qs, "window", [])
     assert window == list(registry.ordered_queries())[:50]
-    # stale ⊆ window head whenever the backlog fits one window
+    # stale must agree with stale_report --json's tier labels: the two
+    # tools project the same ledger, so a drift here means one of them
+    # stopped reflecting what the driver will actually gate
+    import json
+    import subprocess
+
     stale = driver_sim.select_names(qs, "stale", [])
     assert set(stale) <= set(registry.QUERIES)
+    report = json.loads(
+        subprocess.run(
+            [sys.executable, os.path.join(TOOLS, "stale_report.py"),
+             "--json", "--window", str(len(qs))],
+            capture_output=True, text=True, check=True,
+        ).stdout
+    )
+    not_green = {
+        w["name"] for w in report["window"] if w["tier"] != "current-green"
+    }
+    assert set(stale) == not_green
     # explicit names win over subset, unknown names fail loudly
     some = sorted(qs)[:2]
     assert driver_sim.select_names(qs, "window", some) == some
