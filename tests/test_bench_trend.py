@@ -60,7 +60,8 @@ def test_trend_chains_pairwise_medians_into_cumulative_box_factor(
     e2 = _snap_file(tmp_path, "bench_2_sf0.1.json", {"a": 2.0, "b": 4.0}, 2.1)
     e3 = _snap_file(tmp_path, "bench_3_sf0.1.json", {"a": 2.0, "b": 4.0}, 2.0)
     monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
-    rows = bench_trend.trend([e1, e2, e3], sf=0.1)
+    # trend consumes the parsed doc enrich() caches on each entry
+    rows = bench_trend.trend(bench_trend.enrich([e1, e2, e3]), sf=0.1)
     assert [r["cum_box_factor"] for r in rows] == [1.0, 2.0, 2.0]
     assert rows[0]["headline_box_adjusted"] == 1.0
     assert rows[1]["headline_box_adjusted"] == round(2.1 / 2.0, 4)
@@ -69,7 +70,15 @@ def test_trend_chains_pairwise_medians_into_cumulative_box_factor(
     assert rows[1]["median_vs_prev"] == 2.0
     # other-sf and unreadable entries are excluded from the tier
     e_other = dict(e1, sf=0.01)
-    assert len(bench_trend.trend([e_other, e2, e3], sf=0.1)) == 2
+    enriched = bench_trend.enrich([e_other, dict(e2), dict(e3)])
+    assert len(bench_trend.trend(enriched, sf=0.1)) == 2
+    # an entry enrich() could not parse never reaches the chain
+    (tmp_path / ".benchmarks" / "bench_bad_sf0.1.json").write_text("{trunc")
+    e_bad = {"file": ".benchmarks/bench_bad_sf0.1.json", "sf": 0.1,
+             "round": 1, "kind": "local"}
+    enriched_bad = bench_trend.enrich([dict(e1), e_bad, dict(e2)])
+    assert enriched_bad[1].get("unparseable") is True
+    assert len(bench_trend.trend(enriched_bad, sf=0.1)) == 2
 
 
 def test_live_trend_and_manifest_round_attribution():
@@ -92,10 +101,12 @@ def test_live_trend_and_manifest_round_attribution():
     # rounds never decrease along the (chronological) trend
     rounds = [r["round"] for r in rows]
     assert rounds == sorted(rounds)
-    # --no-manifest must not have rewritten the manifest: the file, if
-    # present, is whatever a prior explicit run left (content unasserted)
+    # the piped run also passes --no-manifest so a plain pytest run never
+    # rewrites the tracked MANIFEST.json; the BrokenPipeError exit path is
+    # still what this invocation exercises
     proc2 = subprocess.run(
-        f"{sys.executable} {os.path.join(TOOLS, 'bench_trend.py')} | head -3",
+        f"{sys.executable} {os.path.join(TOOLS, 'bench_trend.py')}"
+        " --no-manifest | head -3",
         shell=True, capture_output=True, text=True, cwd=REPO,
     )
     assert proc2.returncode == 0 and "Traceback" not in proc2.stderr

@@ -16,6 +16,7 @@ TOOLS = os.path.join(
 sys.path.insert(0, TOOLS)
 
 import driver_sim  # noqa: E402
+import stale_report  # noqa: E402
 
 from k_means_in_mapreduce_spark import registry  # noqa: E402
 
@@ -44,10 +45,12 @@ def test_compare_raises_on_each_mismatch_kind(bad, msg):
 def test_select_names_subsets_follow_the_gate_ledger_projection():
     qs = registry.QUERIES
     assert driver_sim.select_names(qs, "all", []) == sorted(qs)
-    # window = exactly the first 50 of the driver's override-aware order,
-    # i.e. what stale_report projects as the next gate window
+    # window = exactly the first GATE_WINDOW of the driver's override-aware
+    # order, i.e. what stale_report projects as the next gate window — the
+    # size is shared via stale_report.GATE_WINDOW so the two tools cannot
+    # drift if the driver's window ever changes
     window = driver_sim.select_names(qs, "window", [])
-    assert window == list(registry.ordered_queries())[:50]
+    assert window == list(registry.ordered_queries())[: stale_report.GATE_WINDOW]
     # stale must agree with stale_report --json's tier labels: the two
     # tools project the same ledger, so a drift here means one of them
     # stopped reflecting what the driver will actually gate
@@ -67,6 +70,15 @@ def test_select_names_subsets_follow_the_gate_ledger_projection():
         w["name"] for w in report["window"] if w["tier"] != "current-green"
     }
     assert set(stale) == not_green
+    # and the window subset must equal stale_report's default projected
+    # window head-to-tail — same names, same order, same size
+    default_report = json.loads(
+        subprocess.run(
+            [sys.executable, os.path.join(TOOLS, "stale_report.py"), "--json"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+    )
+    assert window == [w["name"] for w in default_report["window"]]
     # explicit names win over subset, unknown names fail loudly
     some = sorted(qs)[:2]
     assert driver_sim.select_names(qs, "window", some) == some

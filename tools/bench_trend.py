@@ -49,10 +49,12 @@ SF_RE = re.compile(r"_sf([0-9.]+)\.json$")
 def round_after(commit_seq: list[tuple[str, str]]) -> dict[str, int]:
     """Map every commit hash -> the driver round last CLOSED at that commit.
 
-    Built from the FULL first-parent history, not the .benchmarks-filtered
-    one — driver ``round N:`` commits that added no snapshot still advance
-    the round counter, otherwise early local snapshots get attributed to
-    round 1 forever.
+    Built from the FULL first-parent history (``--first-parent`` in both
+    git log calls, so merge-branch commits never interleave with the
+    driver's round markers), not the .benchmarks-filtered one — driver
+    ``round N:`` commits that added no snapshot still advance the round
+    counter, otherwise early local snapshots get attributed to round 1
+    forever.
     """
     closed = 0
     out = {}
@@ -67,7 +69,8 @@ def round_after(commit_seq: list[tuple[str, str]]) -> dict[str, int]:
 def snapshot_history() -> list[dict]:
     """Chronological (oldest-first) additions of .benchmarks/*.json files."""
     full = subprocess.run(
-        ["git", "-C", REPO, "log", "--reverse", "--format=%H%x00%s"],
+        ["git", "-C", REPO, "log", "--reverse", "--first-parent",
+         "--format=%H%x00%s"],
         capture_output=True,
         text=True,
         check=True,
@@ -83,6 +86,7 @@ def snapshot_history() -> list[dict]:
             REPO,
             "log",
             "--reverse",
+            "--first-parent",
             "--diff-filter=A",
             "--format=%x01%H%x00%s",
             "--name-only",
@@ -101,6 +105,9 @@ def snapshot_history() -> list[dict]:
             continue
         line = line.strip()
         if not line.endswith(".json") or not line.startswith(".benchmarks/"):
+            continue
+        if os.path.basename(line) == "MANIFEST.json":
+            # the manifest this tool writes is not itself a snapshot
             continue
         m = SF_RE.search(line)
         entries.append(
@@ -127,7 +134,13 @@ def snapshot_history() -> list[dict]:
 
 
 def enrich(entries: list[dict]) -> list[dict]:
-    """Attach headline/row-count fields from each snapshot's contents."""
+    """Attach headline/row-count fields from each snapshot's contents.
+
+    The parsed document is cached on the entry under ``_doc`` (stripped
+    before the manifest is written) so ``trend`` reuses this single parse
+    instead of re-reading every file — which also closes the race where a
+    file truncated between the two passes raised an uncaught SystemExit.
+    """
     for e in entries:
         path = os.path.join(REPO, e["file"])
         if not os.path.exists(path):  # deleted later in history
@@ -135,9 +148,12 @@ def enrich(entries: list[dict]) -> list[dict]:
             continue
         try:
             doc = bench_diff.load_snapshot(path)
-        except SystemExit:
+        except (SystemExit, ValueError):
+            # SystemExit: no usable snapshot inside; ValueError: truncated
+            # or non-JSON file (json.JSONDecodeError subclasses it)
             e["unparseable"] = True
             continue
+        e["_doc"] = doc
         e["metric"] = doc.get("metric")
         e["headline"] = doc.get("value")
         e["total_warm"] = doc.get("total_query_sec")
@@ -150,13 +166,13 @@ def trend(entries: list[dict], sf: float) -> list[dict]:
     tier = [
         e
         for e in entries
-        if e.get("sf") == sf and not e.get("missing") and not e.get("unparseable")
+        if e.get("sf") == sf and "_doc" in e
     ]
     rows: list[dict] = []
     prev_doc = None
     cum = 1.0
     for e in tier:
-        doc = bench_diff.load_snapshot(os.path.join(REPO, e["file"]))
+        doc = e["_doc"]
         row = {
             "file": os.path.basename(e["file"]),
             "round": e["round"],
@@ -191,8 +207,12 @@ def main(argv: list[str]) -> int:
     entries = enrich(snapshot_history())
     if not args.no_manifest:
         manifest_path = os.path.join(REPO, ".benchmarks", "MANIFEST.json")
+        public = [
+            {k: v for k, v in e.items() if not k.startswith("_")}
+            for e in entries
+        ]
         with open(manifest_path, "w") as fh:
-            json.dump({"snapshots": entries}, fh, indent=1, sort_keys=True)
+            json.dump({"snapshots": public}, fh, indent=1, sort_keys=True)
             fh.write("\n")
 
     rows = trend(entries, args.sf)

@@ -58,13 +58,15 @@ def select_names(qs: dict, subset: str, named: list[str]) -> list[str]:
         return sorted(qs)
     # window/stale come from the gate ledger's projection so the sim
     # checks exactly what the next driver gate will check, in its order
+    import stale_report
+
     from k_means_in_mapreduce_spark import gate_ledger as gl
     from k_means_in_mapreduce_spark import registry
 
     entries = gl.load_ledger().get("queries", {})
     order = list(registry.ordered_queries())
     if subset == "window":
-        return order[:50]
+        return order[: stale_report.GATE_WINDOW]
     if subset == "stale":
         return [
             n
