@@ -81,6 +81,20 @@ def test_trend_chains_pairwise_medians_into_cumulative_box_factor(
     assert len(bench_trend.trend(enriched_bad, sf=0.1)) == 2
 
 
+def test_trend_enriches_raw_entries_defensively(tmp_path, monkeypatch):
+    # trend() on raw snapshot_history()-shaped entries (no _doc) must
+    # enrich them itself rather than return an empty result
+    e1 = _snap_file(tmp_path, "bench_1_sf0.1.json", {"a": 1.0, "b": 2.0}, 1.0)
+    e2 = _snap_file(tmp_path, "bench_2_sf0.1.json", {"a": 2.0, "b": 4.0}, 2.0)
+    monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
+    rows = bench_trend.trend([e1, e2], sf=0.1)  # never passed through enrich
+    assert [r["cum_box_factor"] for r in rows] == [1.0, 2.0]
+    # entries already marked missing/unparseable are not re-probed
+    e_missing = {"file": ".benchmarks/gone_sf0.1.json", "sf": 0.1,
+                 "round": 1, "kind": "local", "missing": True}
+    assert len(bench_trend.trend([e1, e_missing, e2], sf=0.1)) == 2
+
+
 def test_live_trend_and_manifest_round_attribution():
     """Smoke over the real repo: every snapshot gets a round and a kind,
     driver-gate rows only come from `round N:` commits, and the trend's

@@ -67,7 +67,15 @@ def round_after(commit_seq: list[tuple[str, str]]) -> dict[str, int]:
 
 
 def snapshot_history() -> list[dict]:
-    """Chronological (oldest-first) additions of .benchmarks/*.json files."""
+    """Chronological (oldest-first) additions of .benchmarks/*.json files.
+
+    Both git walks use ``--first-parent``, so snapshots added only on a
+    merged side branch are intentionally excluded from the manifest: the
+    round attribution below is defined by the driver's ``round N:``
+    markers on the mainline, and a side-branch addition has no coherent
+    position in that sequence. A merge-based workflow that wants such
+    snapshots tracked should re-add them in a mainline commit.
+    """
     full = subprocess.run(
         ["git", "-C", REPO, "log", "--reverse", "--first-parent",
          "--format=%H%x00%s"],
@@ -162,7 +170,22 @@ def enrich(entries: list[dict]) -> list[dict]:
 
 
 def trend(entries: list[dict], sf: float) -> list[dict]:
-    """Chain consecutive-pair medians over one sf tier's snapshots."""
+    """Chain consecutive-pair medians over one sf tier's snapshots.
+
+    Expects entries pre-processed by :func:`enrich` (which attaches the
+    parsed snapshot under ``_doc``). Entries that were never enriched —
+    no ``_doc`` and not already marked ``missing``/``unparseable`` — are
+    enriched here defensively, so callers passing raw
+    :func:`snapshot_history` output still get a populated trend instead
+    of a silently empty one.
+    """
+    raw = [
+        e
+        for e in entries
+        if "_doc" not in e and not e.get("missing") and not e.get("unparseable")
+    ]
+    if raw:
+        enrich(raw)
     tier = [
         e
         for e in entries
