@@ -238,6 +238,54 @@ def test_incorporate_correctness_numeric_order_and_gate_tree_stamp(
     assert gl.incorporate_correctness(ledger, repo_root=str(tmp_path)) == []
 
 
+def test_incorporation_rotates_windowed_queries_behind_first_past_window(
+    tmp_path, monkeypatch
+):
+    """The steady-state rotation invariant (ADVICE r12 item 5): once a
+    round file is incorporated, the queries it re-proved green (the old
+    gate window) must sort BEHIND the first query that was past that
+    window, so successive all-green rounds walk the whole registry
+    instead of re-gating the same oldest prefix forever."""
+    import subprocess
+
+    # real registered queries: incorporate_correctness stamps ONLY names
+    # it can resolve against the live registry (unknown names are dropped)
+    names = sorted(registry.QUERIES)[:4]
+    window, past = names[:2], names[2:]
+    sub_queries = {n: registry.QUERIES[n] for n in names}
+    ledger = {
+        "rounds_seen": [],
+        "queries": {
+            n: {
+                "last_checked_round": 3 if n in window else 4,
+                "fingerprint": gl.module_fingerprint(
+                    registry.QUERIES[n].__module__
+                ),
+            }
+            for n in names
+        },
+    }
+    path = tmp_path / "GATE_LEDGER.json"
+    path.write_text(json.dumps(ledger))
+    monkeypatch.setattr(gl, "LEDGER_PATH", str(path))
+    assert gl.derive_order(sub_queries, oracles=set(names)) == window + past
+
+    head = subprocess.run(
+        ["git", "-C", gl.REPO_ROOT, "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    monkeypatch.setattr(gl, "_introducing_commit", lambda name: head)
+    # the driver gates the 2-slot window and re-proves it green (r5)
+    _write_round(tmp_path, "r5", {n: GREEN for n in window})
+    assert gl.incorporate_correctness(ledger, repo_root=str(tmp_path))
+    for n in window:
+        assert ledger["queries"][n]["last_checked_round"] == 5
+    path.write_text(json.dumps(ledger))
+    # the previous first_past_window now leads; the re-proven window
+    # queries rotate to the back
+    assert gl.derive_order(sub_queries, oracles=set(names)) == past + window
+
+
 def test_incorporate_correctness_skips_untracked_file(
     tmp_path, capsys, monkeypatch
 ):
