@@ -95,6 +95,47 @@ def test_trend_enriches_raw_entries_defensively(tmp_path, monkeypatch):
     assert len(bench_trend.trend([e1, e_missing, e2], sf=0.1)) == 2
 
 
+def test_trend_defensive_enrich_is_tier_scoped_and_side_effect_free(
+    tmp_path, monkeypatch
+):
+    # ADVICE r13: (1) raw entries outside the requested sf tier must not
+    # be read/parsed at all; (2) trend() must not mutate caller entries
+    e1 = _snap_file(tmp_path, "bench_1_sf0.1.json", {"a": 1.0, "b": 2.0}, 1.0)
+    e2 = _snap_file(tmp_path, "bench_2_sf0.1.json", {"a": 2.0, "b": 4.0}, 2.0)
+    # off-tier entry pointing at a file that does not exist: with the sf
+    # filter applied before enrich, it is never probed (no "missing" mark)
+    e_off = {"file": ".benchmarks/never_there_sf0.01.json", "sf": 0.01,
+             "round": 1, "kind": "local"}
+    monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
+    rows = bench_trend.trend([e1, e_off, e2], sf=0.1)
+    assert [r["cum_box_factor"] for r in rows] == [1.0, 2.0]
+    assert "missing" not in e_off and "_doc" not in e_off
+    # the defensively-enriched tier entries are copies: the caller's
+    # objects stay exactly as passed (no _doc / headline side effects)
+    assert "_doc" not in e1 and "_doc" not in e2
+
+
+def test_contention_outlier_annotation_flows_to_rows_and_manifest_fields(
+    tmp_path, monkeypatch
+):
+    # a snapshot listed in CONTENTION_OUTLIERS gets the note attached by
+    # enrich() (-> MANIFEST) and carried onto its trend row
+    e1 = _snap_file(tmp_path, "bench_1_sf0.1.json", {"a": 1.0}, 1.0)
+    e2 = _snap_file(tmp_path, "bench_odd_sf0.1.json", {"a": 1.0}, 9.9)
+    monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
+    monkeypatch.setitem(
+        bench_trend.CONTENTION_OUTLIERS, "bench_odd_sf0.1.json", "box spike"
+    )
+    enriched = bench_trend.enrich([e1, e2])
+    assert enriched[1]["contention_outlier"] == "box spike"
+    rows = bench_trend.trend(enriched, sf=0.1)
+    assert "contention_outlier" not in rows[0]
+    assert rows[1]["contention_outlier"] == "box spike"
+    # the two real annotated snapshots are present in the live table
+    assert "bench_20260814_225501_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
+    assert "bench_20260815_000622_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
+
+
 def test_live_trend_and_manifest_round_attribution():
     """Smoke over the real repo: every snapshot gets a round and a kind,
     driver-gate rows only come from `round N:` commits, and the trend's

@@ -42,6 +42,56 @@ def test_compare_raises_on_each_mismatch_kind(bad, msg):
         driver_sim.compare(good, bad, "q")
 
 
+def test_window_subset_agrees_with_stale_report_on_synthetic_ledger(
+    tmp_path, monkeypatch, capsys
+):
+    """VERDICT r13 item 6: pin WINDOW MEMBERSHIP (not just tier labels)
+    between the pre-gate ritual's two tools on a ledger the repo has
+    never been in — a mixed synthetic state with never-checked,
+    changed-since-green, and rotation-staggered current-green queries.
+    Both tools must project the identical window, name-for-name in
+    order, because `driver_sim --subset window` is what gets run before
+    each gate while `stale_report --json` is what the judge audits the
+    CORRECTNESS window against."""
+    import json
+
+    from k_means_in_mapreduce_spark import gate_ledger as gl
+
+    qs = registry.QUERIES
+    names = list(qs)  # registration order, the rank tie-breaker
+    entries = {}
+    for i, n in enumerate(names):
+        if i % 11 == 0:
+            continue  # never-checked: no ledger row at all
+        live_fp = gl._WORKING_TREE.module_fingerprint(qs[n].__module__)
+        if i % 11 in (1, 2):
+            # changed-since-green, with staggered last-green rounds so
+            # the oldest-green-first rotation inside the tier matters
+            entries[n] = {
+                "fingerprint": "not-the-live-fingerprint",
+                "last_checked_round": 3 + (i % 4),
+            }
+        else:
+            entries[n] = {
+                "fingerprint": live_fp,
+                "last_checked_round": 5 + (i % 7),
+            }
+    ledger_file = tmp_path / "GATE_LEDGER.json"
+    ledger_file.write_text(json.dumps({"queries": entries, "rounds_seen": []}))
+    monkeypatch.setattr(gl, "LEDGER_PATH", str(ledger_file))
+
+    window = driver_sim.select_names(qs, "window", [])
+    monkeypatch.setattr(sys, "argv", ["stale_report.py", "--json"])
+    stale_report.main()
+    report = json.loads(capsys.readouterr().out)
+    assert window == [w["name"] for w in report["window"]]
+    assert len(window) == stale_report.GATE_WINDOW
+    # the synthetic transient tiers actually exercised the ordering: every
+    # never-checked query sorts into the window before any current-green one
+    never = {n for i, n in enumerate(names) if i % 11 == 0}
+    assert set(window[: len(never)]) == never
+
+
 def test_select_names_subsets_follow_the_gate_ledger_projection():
     qs = registry.QUERIES
     assert driver_sim.select_names(qs, "all", []) == sorted(qs)
