@@ -120,6 +120,15 @@ def test_contention_outlier_annotation_flows_to_rows_and_manifest_fields(
 ):
     # a snapshot listed in CONTENTION_OUTLIERS gets the note attached by
     # enrich() (-> MANIFEST) and carried onto its trend row
+    # the two real annotated snapshots are present in the live table, and
+    # every live annotation key names an actual archived snapshot — a
+    # typo'd basename would otherwise silently annotate nothing (checked
+    # BEFORE the synthetic monkeypatch entry below is added)
+    assert "bench_20260814_225501_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
+    assert "bench_20260815_000622_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
+    for base in bench_trend.CONTENTION_OUTLIERS:
+        assert os.path.exists(os.path.join(REPO, ".benchmarks", base)), base
+
     e1 = _snap_file(tmp_path, "bench_1_sf0.1.json", {"a": 1.0}, 1.0)
     e2 = _snap_file(tmp_path, "bench_odd_sf0.1.json", {"a": 1.0}, 9.9)
     monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
@@ -131,9 +140,6 @@ def test_contention_outlier_annotation_flows_to_rows_and_manifest_fields(
     rows = bench_trend.trend(enriched, sf=0.1)
     assert "contention_outlier" not in rows[0]
     assert rows[1]["contention_outlier"] == "box spike"
-    # the two real annotated snapshots are present in the live table
-    assert "bench_20260814_225501_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
-    assert "bench_20260815_000622_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
 
 
 def test_live_trend_and_manifest_round_attribution():
