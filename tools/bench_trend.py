@@ -61,6 +61,12 @@ CONTENTION_OUTLIERS = {
         "r13 gate: 100k arrow 0.594 s vs 0.288-0.318 in four same-night "
         "same-tree snapshots; total 75.0 s vs 59-65 (VERDICT r13)"
     ),
+    "bench_20260815_025541_sf0.1.json": (
+        "r15 local: 100k arrow 0.409 s / expr 2.342 s vs 0.284/0.909 in the "
+        "same-tree snapshot 25 min later (030246); rep spread 1.87-5.58 s "
+        "(arrow) and 5.6-37.2 s (expr) on byte-identical code — host-level "
+        "contention, guest idle"
+    ),
 }
 
 
