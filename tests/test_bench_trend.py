@@ -119,16 +119,9 @@ def test_contention_outlier_annotation_flows_to_rows_and_manifest_fields(
     tmp_path, monkeypatch
 ):
     # a snapshot listed in CONTENTION_OUTLIERS gets the note attached by
-    # enrich() (-> MANIFEST) and carried onto its trend row
-    # the two real annotated snapshots are present in the live table, and
-    # every live annotation key names an actual archived snapshot — a
-    # typo'd basename would otherwise silently annotate nothing (checked
-    # BEFORE the synthetic monkeypatch entry below is added)
-    assert "bench_20260814_225501_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
-    assert "bench_20260815_000622_sf0.1.json" in bench_trend.CONTENTION_OUTLIERS
-    for base in bench_trend.CONTENTION_OUTLIERS:
-        assert os.path.exists(os.path.join(REPO, ".benchmarks", base)), base
-
+    # enrich() (-> MANIFEST) and carried onto its trend row (hermetic:
+    # live-repo annotation pinning lives in
+    # test_live_contention_annotations_pinned, per ADVICE r14)
     e1 = _snap_file(tmp_path, "bench_1_sf0.1.json", {"a": 1.0}, 1.0)
     e2 = _snap_file(tmp_path, "bench_odd_sf0.1.json", {"a": 1.0}, 9.9)
     monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
@@ -140,6 +133,40 @@ def test_contention_outlier_annotation_flows_to_rows_and_manifest_fields(
     rows = bench_trend.trend(enriched, sf=0.1)
     assert "contention_outlier" not in rows[0]
     assert rows[1]["contention_outlier"] == "box spike"
+
+
+def test_live_contention_annotations_pinned():
+    """The real annotated outliers stay adjudicable: every known outlier
+    key is present in CONTENTION_OUTLIERS, names an actual archived
+    snapshot, and the tracked MANIFEST.json carries the exact evidence
+    string — so a manifest rebuild (or a table edit) can't silently drop
+    an annotation or its rationale (VERDICT r14 item 6; keys were pinned
+    in r13, this pins the strings end-to-end)."""
+    known = [
+        "bench_20260814_225501_sf0.1.json",  # r12 gate, 400k spike
+        "bench_20260815_000622_sf0.1.json",  # r13 gate, 100k arrow 0.594
+        "bench_20260815_025541_sf0.1.json",  # r15 local, arrow 0.409/expr 2.342
+    ]
+    for base in known:
+        assert base in bench_trend.CONTENTION_OUTLIERS, base
+    for base, note in bench_trend.CONTENTION_OUTLIERS.items():
+        # a typo'd basename would silently annotate nothing
+        assert os.path.exists(os.path.join(REPO, ".benchmarks", base)), base
+        # evidence must be substantive (a band/sibling comparison), not a bare flag
+        assert len(note) > 40 and "vs" in note, base
+    with open(os.path.join(REPO, ".benchmarks", "MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    by_base = {
+        os.path.basename(s["file"]): s for s in manifest["snapshots"]
+    }
+    for base, note in bench_trend.CONTENTION_OUTLIERS.items():
+        assert by_base[base].get("contention_outlier") == note, base
+    # and no manifest entry claims an annotation the table doesn't define
+    for base, s in by_base.items():
+        if "contention_outlier" in s:
+            assert bench_trend.CONTENTION_OUTLIERS.get(base) == s[
+                "contention_outlier"
+            ], base
 
 
 def test_live_trend_and_manifest_round_attribution():
