@@ -207,7 +207,12 @@ def trend(entries: list[dict], sf: float) -> list[dict]:
     of a silently empty one. Only tier-matching entries are probed, and
     the defensive enrich runs on shallow copies: trend() never mutates
     its input (callers serializing the same list afterward see exactly
-    what they passed in).
+    what they passed in). Consequence of that side-effect freedom:
+    missing/unparseable marks discovered during the defensive pass are
+    discarded with the copies, so a caller invoking trend() repeatedly on
+    the same raw list re-stats and re-parses every snapshot each call —
+    callers that want the parse cached (and the marks recorded) should
+    call :func:`enrich` on the list once and pass the enriched result.
     """
     tier = []
     for e in entries:
