@@ -156,6 +156,11 @@ def test_live_contention_annotations_pinned():
         assert len(note) > 40 and "vs" in note, base
     with open(os.path.join(REPO, ".benchmarks", "MANIFEST.json")) as fh:
         manifest = json.load(fh)
+    # CONTENTION_OUTLIERS is keyed by basename (ADVICE r14): sound only
+    # while the snapshot layout stays flat — pin that precondition so a
+    # future tiered layout forces the keying to repo-relative paths
+    for s in manifest["snapshots"]:
+        assert os.path.dirname(s["file"]) == ".benchmarks", s["file"]
     by_base = {
         os.path.basename(s["file"]): s for s in manifest["snapshots"]
     }
