@@ -67,6 +67,12 @@ CONTENTION_OUTLIERS = {
         "(arrow) and 5.6-37.2 s (expr) on byte-identical code — host-level "
         "contention, guest idle"
     ),
+    "bench_20260815_040409_sf0.1.json": (
+        "r15 local: 100k arrow 0.373 s / expr 2.668 s vs 0.284/0.909 in the "
+        "clean same-tree sibling (030246); expr rep spread 4.6-29.4 s, arrow "
+        "1.81-3.19 s — same host-contention signature as 025541, while "
+        "mllib 0.271 and total 63.6 s stayed in band"
+    ),
 }
 
 
