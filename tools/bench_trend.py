@@ -73,6 +73,12 @@ CONTENTION_OUTLIERS = {
         "1.81-3.19 s — same host-contention signature as 025541, while "
         "mllib 0.271 and total 63.6 s stayed in band"
     ),
+    "bench_20260815_051017_sf0.1.json": (
+        "r15 local: 100k arrow 0.39 s / 400k arrow 0.563 s vs 0.284/0.451 "
+        "in the clean same-tree sibling (030246); a 14.8 s mllib_400k rep "
+        "(median 2.0) pins intermittent host contention while mllib 100k "
+        "0.243 and expr 0.953 read in band"
+    ),
 }
 
 
