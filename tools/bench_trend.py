@@ -79,6 +79,13 @@ CONTENTION_OUTLIERS = {
         "(median 2.0) pins intermittent host contention while mllib 100k "
         "0.243 and expr 0.953 read in band"
     ),
+    "bench_20260815_062035_sf0.1.json": (
+        "r15 local: 100k arrow 0.39 s / total 66.8 s vs 0.284/65.1 in the "
+        "clean same-tree sibling (030246); arrow MIN rep 1.87 s plus spike "
+        "reps 3.1/3.8/11.7 s (arrow/mllib/expr) on byte-identical code — "
+        "sustained background load with spikes; mllib 0.273 and 400k arrow "
+        "0.461 in band"
+    ),
 }
 
 
