@@ -86,6 +86,13 @@ CONTENTION_OUTLIERS = {
         "sustained background load with spikes; mllib 0.273 and 400k arrow "
         "0.461 in band"
     ),
+    "bench_20260815_064417_sf0.1.json": (
+        "r15 local: mllib 0.598 s / 400k arrow 0.909 s vs 0.265/0.451 in "
+        "the clean same-tree sibling (030246) while 100k arrow read 0.34 "
+        "near band — the spike MOVED paths vs 062035 (there arrow was hit, "
+        "mllib clean), the roaming signature of host contention on "
+        "byte-identical code"
+    ),
 }
 
 
