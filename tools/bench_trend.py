@@ -93,6 +93,13 @@ CONTENTION_OUTLIERS = {
         "mllib clean), the roaming signature of host contention on "
         "byte-identical code"
     ),
+    "bench_20260815_065442_sf0.1.json": (
+        "r15 local: 100k arrow 0.384 s / total 67.6 s vs 0.284/65.1 in the "
+        "clean same-tree sibling (030246); spike reps 2.55/4.51/6.63 s "
+        "(arrow/mllib_100k/mllib_400k) while mllib 0.288 and 400k arrow "
+        "0.458 medians read in band — fifth same-tree reading in the r15 "
+        "contention series"
+    ),
 }
 
 
