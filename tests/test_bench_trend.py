@@ -126,7 +126,9 @@ def test_contention_outlier_annotation_flows_to_rows_and_manifest_fields(
     e2 = _snap_file(tmp_path, "bench_odd_sf0.1.json", {"a": 1.0}, 9.9)
     monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
     monkeypatch.setitem(
-        bench_trend.CONTENTION_OUTLIERS, "bench_odd_sf0.1.json", "box spike"
+        bench_trend.CONTENTION_OUTLIERS,
+        ".benchmarks/bench_odd_sf0.1.json",
+        "box spike",
     )
     enriched = bench_trend.enrich([e1, e2])
     assert enriched[1]["contention_outlier"] == "box spike"
@@ -141,37 +143,58 @@ def test_live_contention_annotations_pinned():
     snapshot, and the tracked MANIFEST.json carries the exact evidence
     string — so a manifest rebuild (or a table edit) can't silently drop
     an annotation or its rationale (VERDICT r14 item 6; keys were pinned
-    in r13, this pins the strings end-to-end)."""
+    in r13, this pins the strings end-to-end). Keys are repo-relative
+    paths matching manifest entries verbatim (ADVICE r14 closed in r16:
+    path keying replaced the basename keying + flat-layout precondition
+    this test used to pin)."""
     known = [
-        "bench_20260814_225501_sf0.1.json",  # r12 gate, 400k spike
-        "bench_20260815_000622_sf0.1.json",  # r13 gate, 100k arrow 0.594
-        "bench_20260815_025541_sf0.1.json",  # r15 local, arrow 0.409/expr 2.342
+        # r12 gate, 400k spike
+        ".benchmarks/bench_20260814_225501_sf0.1.json",
+        # r13 gate, 100k arrow 0.594
+        ".benchmarks/bench_20260815_000622_sf0.1.json",
+        # r15 local, arrow 0.409/expr 2.342
+        ".benchmarks/bench_20260815_025541_sf0.1.json",
+        # r15 driver-gate, arrow 0.57, judge-confirmed contention
+        ".benchmarks/bench_20260815_072140_sf0.1.json",
     ]
-    for base in known:
-        assert base in bench_trend.CONTENTION_OUTLIERS, base
-    for base, note in bench_trend.CONTENTION_OUTLIERS.items():
-        # a typo'd basename would silently annotate nothing
-        assert os.path.exists(os.path.join(REPO, ".benchmarks", base)), base
+    for path in known:
+        assert path in bench_trend.CONTENTION_OUTLIERS, path
+    for path, note in bench_trend.CONTENTION_OUTLIERS.items():
+        # a typo'd path would silently annotate nothing
+        assert os.path.exists(os.path.join(REPO, path)), path
         # evidence must be substantive (a band/sibling comparison), not a bare flag
-        assert len(note) > 40 and "vs" in note, base
+        assert len(note) > 40 and "vs" in note, path
     with open(os.path.join(REPO, ".benchmarks", "MANIFEST.json")) as fh:
         manifest = json.load(fh)
-    # CONTENTION_OUTLIERS is keyed by basename (ADVICE r14): sound only
-    # while the snapshot layout stays flat — pin that precondition so a
-    # future tiered layout forces the keying to repo-relative paths
-    for s in manifest["snapshots"]:
-        assert os.path.dirname(s["file"]) == ".benchmarks", s["file"]
-    by_base = {
-        os.path.basename(s["file"]): s for s in manifest["snapshots"]
-    }
-    for base, note in bench_trend.CONTENTION_OUTLIERS.items():
-        assert by_base[base].get("contention_outlier") == note, base
+    by_path = {s["file"]: s for s in manifest["snapshots"]}
+    for path, note in bench_trend.CONTENTION_OUTLIERS.items():
+        assert by_path[path].get("contention_outlier") == note, path
     # and no manifest entry claims an annotation the table doesn't define
-    for base, s in by_base.items():
+    for path, s in by_path.items():
         if "contention_outlier" in s:
-            assert bench_trend.CONTENTION_OUTLIERS.get(base) == s[
+            assert bench_trend.CONTENTION_OUTLIERS.get(path) == s[
                 "contention_outlier"
-            ], base
+            ], path
+
+
+def test_readme_snapshot_ids_name_archived_snapshots():
+    """ADVICE r15: contention prose lives in three places (the table, the
+    generated manifest, README maintenance notes) and only the first two
+    were pinned to each other — a README snapshot ID could drift to a run
+    that never existed. Mechanical floor: every bench_YYYYMMDD_HHMMSS ID
+    the README cites must name an actually archived snapshot file."""
+    import re
+
+    with open(os.path.join(REPO, "README.md")) as fh:
+        readme = fh.read()
+    ids = set(re.findall(r"bench_\d{8}_\d{6}", readme))
+    assert ids, "README no longer cites any snapshot IDs - update this test"
+    archived = {re.sub(r"_sf[0-9.]+\.json$", "", f)
+                for f in os.listdir(os.path.join(REPO, ".benchmarks"))}
+    for snap_id in sorted(ids):
+        assert snap_id in archived, (
+            f"README cites {snap_id} but no such snapshot is archived"
+        )
 
 
 def test_live_trend_and_manifest_round_attribution():

@@ -51,54 +51,66 @@ SF_RE = re.compile(r"_sf([0-9.]+)\.json$")
 # median mostly cancels box speed, but a contention spike concentrated in
 # a few rows can still leak into the cumulative factor — these rows are
 # flagged in the trend output and annotated in MANIFEST.json so nobody
-# reads them as plan regressions. Keyed by snapshot basename.
+# reads them as plan regressions. Keyed by repo-relative snapshot path,
+# exactly as manifest entries record it (ADVICE r14: basename keying was
+# sound only while the archive layout stayed flat; path keying removes
+# that precondition instead of pinning it in a test).
 CONTENTION_OUTLIERS = {
-    "bench_20260814_225501_sf0.1.json": (
+    ".benchmarks/bench_20260814_225501_sf0.1.json": (
         "r12 gate: 400k arrow 0.649 s vs 0.33-0.46 band on the identical "
         "tree (closed as box contention in r13; README maintenance notes)"
     ),
-    "bench_20260815_000622_sf0.1.json": (
+    ".benchmarks/bench_20260815_000622_sf0.1.json": (
         "r13 gate: 100k arrow 0.594 s vs 0.288-0.318 in four same-night "
         "same-tree snapshots; total 75.0 s vs 59-65 (VERDICT r13)"
     ),
-    "bench_20260815_025541_sf0.1.json": (
+    ".benchmarks/bench_20260815_025541_sf0.1.json": (
         "r15 local: 100k arrow 0.409 s / expr 2.342 s vs 0.284/0.909 in the "
         "same-tree snapshot 25 min later (030246); rep spread 1.87-5.58 s "
         "(arrow) and 5.6-37.2 s (expr) on byte-identical code — host-level "
         "contention, guest idle"
     ),
-    "bench_20260815_040409_sf0.1.json": (
+    ".benchmarks/bench_20260815_040409_sf0.1.json": (
         "r15 local: 100k arrow 0.373 s / expr 2.668 s vs 0.284/0.909 in the "
         "clean same-tree sibling (030246); expr rep spread 4.6-29.4 s, arrow "
         "1.81-3.19 s — same host-contention signature as 025541, while "
         "mllib 0.271 and total 63.6 s stayed in band"
     ),
-    "bench_20260815_051017_sf0.1.json": (
+    ".benchmarks/bench_20260815_051017_sf0.1.json": (
         "r15 local: 100k arrow 0.39 s / 400k arrow 0.563 s vs 0.284/0.451 "
         "in the clean same-tree sibling (030246); a 14.8 s mllib_400k rep "
         "(median 2.0) pins intermittent host contention while mllib 100k "
         "0.243 and expr 0.953 read in band"
     ),
-    "bench_20260815_062035_sf0.1.json": (
+    ".benchmarks/bench_20260815_062035_sf0.1.json": (
         "r15 local: 100k arrow 0.39 s / total 66.8 s vs 0.284/65.1 in the "
         "clean same-tree sibling (030246); arrow MIN rep 1.87 s plus spike "
         "reps 3.1/3.8/11.7 s (arrow/mllib/expr) on byte-identical code — "
         "sustained background load with spikes; mllib 0.273 and 400k arrow "
         "0.461 in band"
     ),
-    "bench_20260815_064417_sf0.1.json": (
+    ".benchmarks/bench_20260815_064417_sf0.1.json": (
         "r15 local: mllib 0.598 s / 400k arrow 0.909 s vs 0.265/0.451 in "
         "the clean same-tree sibling (030246) while 100k arrow read 0.34 "
         "near band — the spike MOVED paths vs 062035 (there arrow was hit, "
         "mllib clean), the roaming signature of host contention on "
         "byte-identical code"
     ),
-    "bench_20260815_065442_sf0.1.json": (
+    ".benchmarks/bench_20260815_065442_sf0.1.json": (
         "r15 local: 100k arrow 0.384 s / total 67.6 s vs 0.284/65.1 in the "
         "clean same-tree sibling (030246); spike reps 2.55/4.51/6.63 s "
         "(arrow/mllib_100k/mllib_400k) while mllib 0.288 and 400k arrow "
         "0.458 medians read in band — fifth same-tree reading in the r15 "
         "contention series"
+    ),
+    ".benchmarks/bench_20260815_072140_sf0.1.json": (
+        "r15 driver-gate: 100k arrow 0.57 s / expr 2.14 / mllib 0.435 / "
+        "total 70.3 s vs the 0.27-0.41 band across seven same-tree r15 "
+        "siblings whose spike ROAMED between paths on byte-identical code "
+        "(arrow-hit/mllib-clean 062035, inverted 064417), and vs the "
+        "judge's post-gate same-tree rerun 073254: 100k arrow 0.29 / expr "
+        "0.811 / mllib 0.255, total 63.1 s — squarely in band; contention "
+        "confirmed independently, not taken on faith (VERDICT r15)"
     ),
 }
 
@@ -207,7 +219,7 @@ def enrich(entries: list[dict]) -> list[dict]:
     file truncated between the two passes raised an uncaught SystemExit.
     """
     for e in entries:
-        note = CONTENTION_OUTLIERS.get(os.path.basename(e["file"]))
+        note = CONTENTION_OUTLIERS.get(e["file"])
         if note:
             e["contention_outlier"] = note
         path = os.path.join(REPO, e["file"])
