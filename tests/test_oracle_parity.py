@@ -59,12 +59,17 @@ def test_no_oracle_set_is_exactly_the_documented_companion_table():
 def test_companion_docs_match_the_tested_table():
     """Pin the two human-facing restatements (entry docstring + README
     table) to NO_ORACLE_COMPANIONS so the audit trail can't silently rot."""
+    import ast
     import os
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "__spark_entry__.py")) as fh:
-        entry_doc = fh.read().split('"""')[1]
+        # ast, not split('\"\"\"'): raw splitting silently grabs the wrong
+        # text if the file ever leads with a commented triple quote or
+        # switches quote style (ADVICE r15)
+        entry_doc = ast.get_docstring(ast.parse(fh.read())) or ""
+    assert entry_doc, "__spark_entry__.py lost its module docstring"
     for name in NO_ORACLE_COMPANIONS:
         assert name in entry_doc, f"{name} missing from __spark_entry__ docstring"
     for companions in NO_ORACLE_COMPANIONS.values():
