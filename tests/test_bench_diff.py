@@ -121,6 +121,34 @@ def test_load_snapshot_unwraps_driver_artifact(tmp_path):
             bench_diff.load_snapshot(str(bad))
 
 
+def test_diff_surfaces_min_headline_and_contention_signals():
+    """r16: diff() carries the min-of-reps companion headline and an
+    in-snapshot evidence summary (median/min gap per path + recorded
+    steal fractions) so a gate comparison shows contention mechanically;
+    pre-r16 snapshots without the fields degrade to None/{} untouched."""
+    old = _snap({"a": 1.0})  # pre-r16 shape: no value_min / host_load
+    new = _snap(
+        {"a": 1.0},
+        value_min=0.25,
+        value_expr=1.0,
+        value_min_expr=0.5,
+        host_load={"kmeans_grid": {"steal_frac": 0.04},
+                   "run": {"steal_frac": 0.01}},
+    )
+    new["value"] = 0.3
+    d = bench_diff.diff(old, new)
+    assert d["headline_min"] == {"old": None, "new": 0.25}
+    assert d["contention_old"] == {}
+    sig = d["contention_new"]
+    # 0.3/0.25 and 1.0/0.5: the expr gap flags the contended path
+    assert sig["median_over_min"] == {"arrow": 1.2, "expr": 2.0}
+    assert sig["kmeans_grid_steal_frac"] == 0.04
+    assert sig["run_steal_frac"] == 0.01
+    # a zero/negative recorded min never divides: path simply omitted
+    degen = bench_diff.contention_signals({"value": 0.3, "value_min": 0.0})
+    assert degen == {}
+
+
 def test_bench_value_min_and_host_load_fields():
     """VERDICT r15 item 3 + ADVICE r15: bench.py reports a
     contention-robust ``value_min`` (min-of-reps / iterations — the

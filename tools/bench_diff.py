@@ -55,6 +55,34 @@ def newest_two() -> tuple[str, str]:
     return snaps[-2], snaps[-1]
 
 
+def contention_signals(doc: dict) -> dict:
+    """In-snapshot contention evidence summary (fields recorded since
+    r16 by bench.py): the median/min rep gap per headline path plus the
+    at-run-time host-load fractions. A gap well above ~1.2x on any path,
+    or a sizable steal fraction, says "adjudicate against value_min and
+    the MANIFEST sibling annotations before reading the median headline
+    as a code signal". Returns {} for pre-r16 snapshots, which carry
+    neither field."""
+    out: dict = {}
+    gaps = {}
+    for label, med_key, min_key in (
+        ("arrow", "value", "value_min"),
+        ("expr", "value_expr", "value_min_expr"),
+        ("mllib", "value_mllib", "value_min_mllib"),
+    ):
+        med, mn = doc.get(med_key), doc.get(min_key)
+        if med is not None and mn is not None and mn > 0:
+            gaps[label] = round(med / mn, 3)
+    if gaps:
+        out["median_over_min"] = gaps
+    hl = doc.get("host_load") or {}
+    for phase in ("kmeans_grid", "run"):
+        frac = (hl.get(phase) or {}).get("steal_frac")
+        if frac is not None:
+            out[f"{phase}_steal_frac"] = frac
+    return out
+
+
 def diff(old: dict, new: dict) -> dict:
     qo, qn = old["queries"], new["queries"]
     shared = [
@@ -106,6 +134,14 @@ def diff(old: dict, new: dict) -> dict:
             "new_box_adjusted": adj,
             "metric": new.get("metric"),
         },
+        # min-of-reps companion headline + in-snapshot evidence (r16+
+        # snapshots only; both degrade to None/{} on older files)
+        "headline_min": {
+            "old": old.get("value_min"),
+            "new": new.get("value_min"),
+        },
+        "contention_old": contention_signals(old),
+        "contention_new": contention_signals(new),
         "median_warm_ratio": round(med, 3),
         "median_from_noise_fallback": med_from_noise,
         "grid_ratios": {k: round(r, 3) for k, r in sorted(grid.items())},
@@ -148,6 +184,25 @@ def main(argv: list[str]) -> int:
     print(f"old: {old_path}\nnew: {new_path}")
     h = d["headline"]
     print(f"headline {h['metric']}: {h['old']} -> {h['new']}")
+    hm = d["headline_min"]
+    if hm["old"] is not None or hm["new"] is not None:
+        print(
+            f"  min-of-reps headline: {hm['old']} -> {hm['new']}"
+            "  (contention-robust companion; a median far above its min "
+            "is box noise, not code)"
+        )
+    for side, sig in (("old", d["contention_old"]), ("new", d["contention_new"])):
+        if sig:
+            gaps = sig.get("median_over_min", {})
+            gap_s = ", ".join(f"{k} {v}x" for k, v in gaps.items())
+            steal = {
+                k: v for k, v in sig.items() if k.endswith("_steal_frac")
+            }
+            steal_s = ", ".join(f"{k}={v}" for k, v in steal.items())
+            print(
+                f"  in-snapshot evidence ({side}): median/min {gap_s}"
+                + (f"; {steal_s}" if steal_s else "")
+            )
     noise_tag = (
         "  [UNRELIABLE: median from sub-MIN_SEC noise rows — no sizable "
         "shared row]"
