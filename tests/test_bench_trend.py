@@ -137,6 +137,30 @@ def test_contention_outlier_annotation_flows_to_rows_and_manifest_fields(
     assert rows[1]["contention_outlier"] == "box spike"
 
 
+def test_trend_carries_min_headline_and_steal_evidence(tmp_path, monkeypatch):
+    # r16 snapshots record value_min + host_load (bench.py); enrich()
+    # lifts them onto the manifest entry and trend() onto the row, so a
+    # spiked median is adjudicable from the trend output in place
+    e1 = _snap_file(tmp_path, "bench_1_sf0.1.json", {"a": 1.0}, 1.0)
+    snap = tmp_path / ".benchmarks" / "bench_1_sf0.1.json"
+    doc = json.loads(snap.read_text())
+    doc["value_min"] = 0.9
+    doc["host_load"] = {"run": {"steal_frac": 0.03}}
+    snap.write_text(json.dumps(doc))
+    monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
+    enriched = bench_trend.enrich([e1])
+    assert enriched[0]["headline_min"] == 0.9
+    assert enriched[0]["run_steal_frac"] == 0.03
+    rows = bench_trend.trend(enriched, sf=0.1)
+    assert rows[0]["headline_min"] == 0.9
+    assert rows[0]["run_steal_frac"] == 0.03
+    # pre-r16 snapshots: the fields are simply absent, never None-filled
+    e2 = _snap_file(tmp_path, "bench_2_sf0.1.json", {"a": 1.0}, 1.0)
+    rows2 = bench_trend.trend(bench_trend.enrich([e2]), sf=0.1)
+    assert "headline_min" not in rows2[0]
+    assert "run_steal_frac" not in rows2[0]
+
+
 def test_live_contention_annotations_pinned():
     """The real annotated outliers stay adjudicable: every known outlier
     key is present in CONTENTION_OUTLIERS, names an actual archived

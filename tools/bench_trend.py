@@ -236,6 +236,16 @@ def enrich(entries: list[dict]) -> list[dict]:
         e["_doc"] = doc
         e["metric"] = doc.get("metric")
         e["headline"] = doc.get("value")
+        # contention-robust companion + recorded steal (r16+ snapshots;
+        # absent on older files) — kept on the manifest entry so a trend
+        # reader can adjudicate a spike from the snapshot's own evidence
+        if doc.get("value_min") is not None:
+            e["headline_min"] = doc["value_min"]
+        steal = ((doc.get("host_load") or {}).get("run") or {}).get(
+            "steal_frac"
+        )
+        if steal is not None:
+            e["run_steal_frac"] = steal
         e["total_warm"] = doc.get("total_query_sec")
         e["n_queries"] = len(doc.get("queries", {}))
     return entries
@@ -284,6 +294,10 @@ def trend(entries: list[dict], sf: float) -> list[dict]:
             "total_warm": e.get("total_warm"),
             "n_queries": e.get("n_queries"),
         }
+        if e.get("headline_min") is not None:
+            row["headline_min"] = e["headline_min"]
+        if e.get("run_steal_frac") is not None:
+            row["run_steal_frac"] = e["run_steal_frac"]
         if e.get("contention_outlier"):
             row["contention_outlier"] = e["contention_outlier"]
         if prev_doc is not None:
@@ -338,12 +352,18 @@ def main(argv: list[str]) -> int:
         med = r.get("median_vs_prev")
         noise = "~" if r.get("median_from_noise") else ""
         flag = " !contention" if r.get("contention_outlier") else ""
+        extra = ""
+        if r.get("headline_min") is not None:
+            extra += f" min={r['headline_min']}"
+        if r.get("run_steal_frac") is not None:
+            extra += f" steal={r['run_steal_frac']}"
         print(
             f"  {('r' + str(r['round'])):>6} {r['kind']:<11} "
             f"{r['headline'] if r['headline'] is not None else '-':>9} "
             f"{(str(med) + noise) if med is not None else '-':>9} "
             f"{r['cum_box_factor']:>7} "
             f"{r.get('headline_box_adjusted', '-'):>8}  {r['file']}{flag}"
+            f"{extra}"
         )
     outliers = [r for r in rows if r.get("contention_outlier")]
     for r in outliers:
