@@ -114,7 +114,11 @@ def host_load_delta(before: dict, after: dict) -> dict:
     if b and a:
         delta = {k: a[k] - b[k] for k in a if k in b}
         d["jiffies"] = delta
-        total = sum(delta.values())
+        # guest/guest_nice are already folded into user/nice by the
+        # kernel; summing them too double-counts VM time and deflates
+        # busy_frac/steal_frac on hosts running nested guests.
+        total = sum(v for k, v in delta.items()
+                    if k not in ("guest", "guest_nice"))
         if total > 0:
             idle = delta.get("idle", 0) + delta.get("iowait", 0)
             d["busy_frac"] = round(1 - idle / total, 4)

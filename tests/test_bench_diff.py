@@ -163,10 +163,16 @@ def test_bench_value_min_and_host_load_fields():
     assert bench.iter_min({"spread": [1.5, 2.0, 9.9], "iterations": 5}) == 0.3
     assert bench.iter_min({"spread": [0.4], "iterations": 0}) == 0.4
 
-    # live sample on this Linux box: 3-field loadavg + full jiffies split
+    # live sample: read_host_load() is documented best-effort, so only
+    # assert the fields this platform actually exposes (ADVICE r16 —
+    # the hard asserts failed on macOS / steal-less kernels)
     s1 = bench.read_host_load()
-    assert len(s1.get("loadavg", [])) == 3
-    assert s1["cpu_jiffies"]["idle"] >= 0 and "steal" in s1["cpu_jiffies"]
+    if "loadavg" in s1:
+        assert len(s1["loadavg"]) == 3
+    if sys.platform == "linux" and "cpu_jiffies" in s1:
+        assert s1["cpu_jiffies"]["idle"] >= 0
+        if "steal" in s1["cpu_jiffies"]:
+            assert s1["cpu_jiffies"]["steal"] >= 0
 
     # delta math on synthetic samples: fractions derived from the split
     before = {
@@ -184,6 +190,17 @@ def test_bench_value_min_and_host_load_fields():
     assert d["loadavg_start"] == [1.0, 1.0, 1.0]
     # foreign-platform samples degrade to an empty block, not a crash
     assert bench.host_load_delta({}, {}) == {}
+
+    # guest/guest_nice are folded into user/nice by the kernel, so the
+    # fraction denominator must exclude them (ADVICE r16: double-counting
+    # inflated total and deflated busy/steal fractions on nested-VM hosts)
+    g_before = {"cpu_jiffies": {"user": 100, "nice": 0, "idle": 100,
+                                "steal": 0, "guest": 50, "guest_nice": 0}}
+    g_after = {"cpu_jiffies": {"user": 180, "nice": 0, "idle": 100,
+                               "steal": 20, "guest": 90, "guest_nice": 0}}
+    g = bench.host_load_delta(g_before, g_after)
+    # total = user 80 + steal 20 = 100 (guest's 40 NOT added on top)
+    assert g["busy_frac"] == 1.0 and g["steal_frac"] == 0.2
 
     # the tracked full-result artifact carries the new fields, so a
     # reader of BENCH_RESULT.json ALONE can adjudicate a spiky headline

@@ -186,8 +186,11 @@ def main(argv: list[str]) -> int:
     print(f"headline {h['metric']}: {h['old']} -> {h['new']}")
     hm = d["headline_min"]
     if hm["old"] is not None or hm["new"] is not None:
+        # pre-r16 snapshots have no value_min: render '-' not 'None'
+        hm_old = hm["old"] if hm["old"] is not None else "-"
+        hm_new = hm["new"] if hm["new"] is not None else "-"
         print(
-            f"  min-of-reps headline: {hm['old']} -> {hm['new']}"
+            f"  min-of-reps headline: {hm_old} -> {hm_new}"
             "  (contention-robust companion; a median far above its min "
             "is box noise, not code)"
         )

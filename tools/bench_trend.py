@@ -346,24 +346,25 @@ def main(argv: list[str]) -> int:
     )
     print(
         f"  {'round':>6} {'kind':<11} {'headline':>9} {'med/prev':>9} "
-        f"{'cum':>7} {'adj':>8}  file"
+        f"{'cum':>7} {'adj':>8} {'min':>7} {'steal':>6}  file"
     )
     for r in rows:
         med = r.get("median_vs_prev")
         noise = "~" if r.get("median_from_noise") else ""
         flag = " !contention" if r.get("contention_outlier") else ""
-        extra = ""
-        if r.get("headline_min") is not None:
-            extra += f" min={r['headline_min']}"
-        if r.get("run_steal_frac") is not None:
-            extra += f" steal={r['run_steal_frac']}"
+        # fixed-width min/steal slots BEFORE the filename ('-' for
+        # pre-r16 rows) so columns stay aligned and the key stat isn't
+        # pushed past the longest field (ADVICE r16)
+        hmin = r.get("headline_min")
+        steal = r.get("run_steal_frac")
         print(
             f"  {('r' + str(r['round'])):>6} {r['kind']:<11} "
             f"{r['headline'] if r['headline'] is not None else '-':>9} "
             f"{(str(med) + noise) if med is not None else '-':>9} "
             f"{r['cum_box_factor']:>7} "
-            f"{r.get('headline_box_adjusted', '-'):>8}  {r['file']}{flag}"
-            f"{extra}"
+            f"{r.get('headline_box_adjusted', '-'):>8} "
+            f"{hmin if hmin is not None else '-':>7} "
+            f"{steal if steal is not None else '-':>6}  {r['file']}{flag}"
         )
     outliers = [r for r in rows if r.get("contention_outlier")]
     for r in outliers:
