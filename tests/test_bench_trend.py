@@ -4,6 +4,7 @@ synthetic snapshots, plus a live smoke over the real repo history."""
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -250,3 +251,32 @@ def test_live_trend_and_manifest_round_attribution():
         shell=True, capture_output=True, text=True, cwd=REPO,
     )
     assert proc2.returncode == 0 and "Traceback" not in proc2.stderr
+
+
+def test_live_trend_table_keeps_min_steal_columns_before_filename():
+    """ADVICE r16: min/steal render in fixed-width slots BEFORE the
+    filename ('-' for pre-r16 rows) — never as variable-width trailing
+    text that breaks the column grid after the longest field."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "bench_trend.py"),
+         "--no-manifest"],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    lines = proc.stdout.splitlines()
+    header = next(ln for ln in lines if "med/prev" in ln)
+    assert header.index("min") < header.index("steal") < header.index("file")
+    data = [ln for ln in lines
+            if re.match(r"^\s+r\d+ ", ln) and ".json" in ln]
+    assert len(data) >= 2
+    saw_dash = saw_value = False
+    for ln in data:
+        toks = ln.split()
+        # filename is the last token (bar the fixed !contention flag) —
+        # nothing variable-width trails it
+        fname = toks[-2] if toks[-1] == "!contention" else toks[-1]
+        assert fname.endswith(".json")
+        min_tok = toks[-4] if toks[-1] == "!contention" else toks[-3]
+        saw_dash |= min_tok == "-"
+        saw_value |= min_tok not in ("-",) and not min_tok.endswith(".json")
+    # repo history spans both pre-r16 (no value_min) and r16+ rows
+    assert saw_dash and saw_value
