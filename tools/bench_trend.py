@@ -112,6 +112,18 @@ CONTENTION_OUTLIERS = {
         "0.811 / mllib 0.255, total 63.1 s — squarely in band; contention "
         "confirmed independently, not taken on faith (VERDICT r15)"
     ),
+    ".benchmarks/bench_20260815_102324_sf0.1.json": (
+        "r17 driver-gate: 100k arrow 0.449 s (min 0.408) / expr 1.028 / "
+        "total 70.9 s vs the 0.322-0.352 r16 band on a byte-identical "
+        "operator tree (the whole r17 diff touched only bench tooling, "
+        "tests and artifacts); the snapshot's own host_load block shows "
+        "loadavg ramping 1.75 -> 14.91 across the kmeans grid with steal "
+        "~1%, and the judge's same-tree rerun 25 min later (104654) read "
+        "100k arrow 0.341 / min 0.317, mllib 0.291, total 69.4 s — in "
+        "band, with the familiar roaming single-rep spike (one 1.509 s "
+        "mllib_400k median against a 0.458 min); adjudicated environmental "
+        "(VERDICT r17)"
+    ),
 }
 
 
