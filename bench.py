@@ -112,19 +112,61 @@ def host_load_delta(before: dict, after: dict) -> dict:
         d["loadavg_end"] = after["loadavg"]
     b, a = before.get("cpu_jiffies"), after.get("cpu_jiffies")
     if b and a:
-        delta = {k: a[k] - b[k] for k in a if k in b}
-        d["jiffies"] = delta
         # guest/guest_nice are already folded into user/nice by the
-        # kernel; summing them too double-counts VM time and deflates
-        # busy_frac/steal_frac on hosts running nested guests.
-        total = sum(v for k, v in delta.items()
-                    if k not in ("guest", "guest_nice"))
+        # kernel; they are DROPPED from the emitted delta (not just the
+        # fraction denominator) so any downstream reader that sums the
+        # dict gets the true total instead of double-counting VM time
+        # (ADVICE r17 — the fractions were fixed r17 but the raw dict
+        # still carried the trap).
+        delta = {k: a[k] - b[k] for k in a
+                 if k in b and k not in ("guest", "guest_nice")}
+        d["jiffies"] = delta
+        total = sum(delta.values())
         if total > 0:
             idle = delta.get("idle", 0) + delta.get("iowait", 0)
             d["busy_frac"] = round(1 - idle / total, 4)
             d["iowait_frac"] = round(delta.get("iowait", 0) / total, 4)
             d["steal_frac"] = round(delta.get("steal", 0) / total, 4)
     return d
+
+
+# contention_suspect thresholds (VERDICT r17 item 3: turn the evidence
+# rounds 14-17 assembled by hand into a one-field verdict in the JSON
+# tail, computed from fields the bench already records — no new
+# measurement). Arm A: the headline median exceeding its own min-of-reps
+# by >15% means a noisy neighbor inflated at least half the reps (the
+# r12/r13/r15 spikes read 50-100% here; the clean r16-r17 band reads
+# 1-9%). Arm B: 1-min loadavg already above ~4 BEFORE the kmeans grid
+# starts means the box was loaded by someone else — the bench's own
+# pre-grid work (one warm job + parquet reads) contributes <~2, so 4 is
+# ~2x this process's share at that instant (clean history: 0.5-3.1).
+CONTENTION_GAP_FRAC = 0.15
+CONTENTION_LOADAVG_START = 4.0
+
+
+def contention_suspect(value, value_min, kmeans_grid_load) -> bool | None:
+    """Self-serve gate verdict: should this run's headline be adjudicated
+    against siblings before being read as a regression?
+
+    True = at least one arm fired; False = evidence present, none fired;
+    None = neither arm evaluable (non-Linux: no min recorded and no
+    loadavg) — absence of evidence is not a clean bill. A True here is a
+    SUSPICION, not a conviction: the r17 gate showed a contended box can
+    sit below both thresholds (9% gap, loadavg_start 1.75) and still
+    need a same-tree rerun to convict — the flag catches the egregious
+    cases so the driver sees them without hand-assembling the evidence.
+    """
+    evaluable = False
+    if value and value_min and value > 0:
+        evaluable = True
+        if (value - value_min) / value > CONTENTION_GAP_FRAC:
+            return True
+    start = (kmeans_grid_load or {}).get("loadavg_start")
+    if start:
+        evaluable = True
+        if start[0] > CONTENTION_LOADAVG_START:
+            return True
+    return False if evaluable else None
 
 
 def make_spark():
@@ -389,6 +431,7 @@ def main() -> None:
     per_query["_kmeans_400k_per_iter_mllib"] = round(km4["mllib"]["sec_per_iter"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    kmeans_grid_load = host_load_delta(hl_start, hl_after_kmeans)
     result = {
         # headline = the engine's own Arrow dataflow (assign -> CF agg),
         # the recommended production fit path; the expression-oracle and
@@ -431,10 +474,18 @@ def main() -> None:
         # loadavg recorded here let a contention call rest on data from
         # the run itself, not only on post-hoc sibling comparison
         "host_load": {
-            "kmeans_grid": host_load_delta(hl_start, hl_after_kmeans),
+            "kmeans_grid": kmeans_grid_load,
             "queries": host_load_delta(hl_after_kmeans, hl_end),
             "run": host_load_delta(hl_start, hl_end),
         },
+        # one-field adjudication hint in the JSON tail (VERDICT r17
+        # item 3); value/value_min semantics unchanged — this only READS
+        # them. See contention_suspect() for the two arms + thresholds.
+        "contention_suspect": contention_suspect(
+            round(km["arrow"]["sec_per_iter"], 3),
+            iter_min(km["arrow"]),
+            kmeans_grid_load,
+        ),
         "contention_evidence": (
             "value/value_expr/value_mllib are medians a contended box can "
             "inflate; adjudicate outliers against value_min* (min-of-reps, "

@@ -163,13 +163,17 @@ def test_bench_value_min_and_host_load_fields():
     assert bench.iter_min({"spread": [1.5, 2.0, 9.9], "iterations": 5}) == 0.3
     assert bench.iter_min({"spread": [0.4], "iterations": 0}) == 0.4
 
-    # live sample: read_host_load() is documented best-effort, so only
-    # assert the fields this platform actually exposes (ADVICE r16 —
-    # the hard asserts failed on macOS / steal-less kernels)
+    # live sample: read_host_load() is documented best-effort for
+    # foreign platforms (macOS / steal-less kernels, ADVICE r16) — but
+    # on Linux /proc/stat and getloadavg are always present, so a
+    # regression that silently returns {} must FAIL here, not pass
+    # behind a fully-conditional guard (ADVICE r17)
     s1 = bench.read_host_load()
+    if sys.platform == "linux":
+        assert "loadavg" in s1 and "cpu_jiffies" in s1
     if "loadavg" in s1:
         assert len(s1["loadavg"]) == 3
-    if sys.platform == "linux" and "cpu_jiffies" in s1:
+    if "cpu_jiffies" in s1:
         assert s1["cpu_jiffies"]["idle"] >= 0
         if "steal" in s1["cpu_jiffies"]:
             assert s1["cpu_jiffies"]["steal"] >= 0
@@ -201,6 +205,11 @@ def test_bench_value_min_and_host_load_fields():
     g = bench.host_load_delta(g_before, g_after)
     # total = user 80 + steal 20 = 100 (guest's 40 NOT added on top)
     assert g["busy_frac"] == 1.0 and g["steal_frac"] == 0.2
+    # ...and the raw emitted delta drops guest/guest_nice entirely, so a
+    # downstream reader summing the dict cannot re-introduce the
+    # double-count the fractions already exclude (ADVICE r17)
+    assert "guest" not in g["jiffies"] and "guest_nice" not in g["jiffies"]
+    assert sum(g["jiffies"].values()) == 100
 
     # the tracked full-result artifact carries the new fields, so a
     # reader of BENCH_RESULT.json ALONE can adjudicate a spiky headline
@@ -208,10 +217,47 @@ def test_bench_value_min_and_host_load_fields():
     with open(os.path.join(os.path.dirname(TOOLS), "BENCH_RESULT.json")) as fh:
         res = json.load(fh)
     for k in ("value_min", "value_min_expr", "value_min_mllib",
-              "host_load", "contention_evidence"):
+              "host_load", "contention_evidence", "contention_suspect"):
         assert k in res, k
     assert res["value_min"] <= res["value"]
     assert "run" in res["host_load"]
+
+
+def test_contention_suspect_two_trigger_arms():
+    """VERDICT r17 item 3: bench.py turns the contention evidence rounds
+    14-17 adjudicated by hand into a one-field verdict in the JSON tail,
+    computed only from fields the bench already records. Pin both arms,
+    both quiet paths, and the no-evidence None."""
+    sys.path.insert(0, os.path.dirname(TOOLS))
+    import bench
+
+    clean_load = {"loadavg_start": [1.75, 2.41, 2.15]}
+
+    # arm A: headline median > 15% above its own min-of-reps — the
+    # r12/r13/r15 spike signature (they read 50-100% here)
+    assert bench.contention_suspect(0.594, 0.30, clean_load) is True
+    # the clean r16-r17 band (1-9% gap, quiet loadavg) stays False —
+    # including the r17 gate reading, which sat below BOTH thresholds
+    # and needed a same-tree rerun to convict (the flag is a suspicion
+    # for the egregious cases, not the full adjudication)
+    assert bench.contention_suspect(0.449, 0.408, clean_load) is False
+
+    # arm B: 1-min loadavg already ~2x this process's pre-grid share
+    # BEFORE the kmeans grid starts — someone else is on the box
+    hot_start = {"loadavg_start": [9.5, 4.0, 2.0]}
+    assert bench.contention_suspect(0.341, 0.317, hot_start) is True
+    # boundary: exactly at the threshold does not fire
+    at = {"loadavg_start": [bench.CONTENTION_LOADAVG_START, 1.0, 1.0]}
+    assert bench.contention_suspect(0.341, 0.317, at) is False
+
+    # either arm alone suffices when the other's inputs are absent
+    assert bench.contention_suspect(0.594, 0.30, {}) is True
+    assert bench.contention_suspect(None, None, hot_start) is True
+
+    # no evaluable evidence (non-Linux: no min, no loadavg) -> None,
+    # never a clean-bill False; degenerate zero min never divides
+    assert bench.contention_suspect(None, None, {}) is None
+    assert bench.contention_suspect(0.3, 0.0, None) is None
 
 
 def test_cli_survives_closed_stdout_pipe():

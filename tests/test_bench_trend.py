@@ -2,6 +2,7 @@
 (no Spark). Unit-tests the round attribution and median chaining on
 synthetic snapshots, plus a live smoke over the real repo history."""
 
+import glob
 import json
 import os
 import re
@@ -278,5 +279,19 @@ def test_live_trend_table_keeps_min_steal_columns_before_filename():
         min_tok = toks[-4] if toks[-1] == "!contention" else toks[-3]
         saw_dash |= min_tok == "-"
         saw_value |= min_tok not in ("-",) and not min_tok.endswith(".json")
-    # repo history spans both pre-r16 (no value_min) and r16+ rows
-    assert saw_dash and saw_value
+    # which eras the rendered rows must show is driven by the history
+    # itself, not hardcoded (ADVICE r17: a fresh clone/fork whose
+    # .benchmarks archive spans only one era must still pass): pre-r16
+    # snapshots lack value_min -> '-', r16+ record it -> a number
+    expect_dash = expect_value = False
+    for p in glob.glob(os.path.join(REPO, ".benchmarks", "bench_*_sf0.1.json")):
+        try:
+            with open(p) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue  # unparseable files never become table rows
+        if doc.get("value_min") is None:
+            expect_dash = True
+        else:
+            expect_value = True
+    assert saw_dash == expect_dash and saw_value == expect_value
