@@ -148,19 +148,26 @@ def test_trend_carries_min_headline_and_steal_evidence(tmp_path, monkeypatch):
     doc = json.loads(snap.read_text())
     doc["value_min"] = 0.9
     doc["host_load"] = {"run": {"steal_frac": 0.03}}
+    # r18+ snapshots also carry bench.py's own two-arm verdict; False is
+    # evidence ("evaluated, clean") and must survive the lift — only
+    # absent/null (pre-r18 / no evaluable arm) stays off the entry
+    doc["contention_suspect"] = False
     snap.write_text(json.dumps(doc))
     monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
     enriched = bench_trend.enrich([e1])
     assert enriched[0]["headline_min"] == 0.9
     assert enriched[0]["run_steal_frac"] == 0.03
+    assert enriched[0]["contention_suspect"] is False
     rows = bench_trend.trend(enriched, sf=0.1)
     assert rows[0]["headline_min"] == 0.9
     assert rows[0]["run_steal_frac"] == 0.03
+    assert rows[0]["contention_suspect"] is False
     # pre-r16 snapshots: the fields are simply absent, never None-filled
     e2 = _snap_file(tmp_path, "bench_2_sf0.1.json", {"a": 1.0}, 1.0)
     rows2 = bench_trend.trend(bench_trend.enrich([e2]), sf=0.1)
     assert "headline_min" not in rows2[0]
     assert "run_steal_frac" not in rows2[0]
+    assert "contention_suspect" not in rows2[0]
 
 
 def test_live_contention_annotations_pinned():

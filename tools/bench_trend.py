@@ -258,6 +258,13 @@ def enrich(entries: list[dict]) -> list[dict]:
         )
         if steal is not None:
             e["run_steal_frac"] = steal
+        # r18+ snapshots carry the bench's own two-arm verdict (see
+        # bench.contention_suspect); lifted so manifest/trend readers
+        # see which rows flagged THEMSELVES, next to the hand-curated
+        # CONTENTION_OUTLIERS annotations above (absent pre-r18, and
+        # null when neither arm was evaluable — both stay un-lifted)
+        if doc.get("contention_suspect") is not None:
+            e["contention_suspect"] = doc["contention_suspect"]
         e["total_warm"] = doc.get("total_query_sec")
         e["n_queries"] = len(doc.get("queries", {}))
     return entries
@@ -310,6 +317,8 @@ def trend(entries: list[dict], sf: float) -> list[dict]:
             row["headline_min"] = e["headline_min"]
         if e.get("run_steal_frac") is not None:
             row["run_steal_frac"] = e["run_steal_frac"]
+        if e.get("contention_suspect") is not None:
+            row["contention_suspect"] = e["contention_suspect"]
         if e.get("contention_outlier"):
             row["contention_outlier"] = e["contention_outlier"]
         if prev_doc is not None:
