@@ -134,9 +134,12 @@ def host_load_delta(before: dict, after: dict) -> dict:
 # rounds 14-17 assembled by hand into a one-field verdict in the JSON
 # tail, computed from fields the bench already records — no new
 # measurement). Arm A: the headline median exceeding its own min-of-reps
-# by >15% means a noisy neighbor inflated at least half the reps (the
-# r12/r13/r15 spikes read 50-100% here; the clean r16-r17 band reads
-# 1-9%). Arm B: 1-min loadavg already above ~4 BEFORE the kmeans grid
+# by >15% OF THE MIN — gap/min, i.e. value > 1.15*value_min (ADVICE r18:
+# the first cut divided by the median, which silently raised the fire
+# point to ~17.6% and contradicted this prose) — means a noisy neighbor
+# inflated at least half the reps (the r12/r13/r15 spikes read 50-100%+
+# here; the clean r16-r18 band reads 1-10%, incl. the r18 gate at 5.1%).
+# Arm B: 1-min loadavg already above ~4 BEFORE the kmeans grid
 # starts means the box was loaded by someone else — the bench's own
 # pre-grid work (one warm job + parquet reads) contributes <~2, so 4 is
 # ~2x this process's share at that instant (clean history: 0.5-3.1).
@@ -152,14 +155,16 @@ def contention_suspect(value, value_min, kmeans_grid_load) -> bool | None:
     None = neither arm evaluable (non-Linux: no min recorded and no
     loadavg) — absence of evidence is not a clean bill. A True here is a
     SUSPICION, not a conviction: the r17 gate showed a contended box can
-    sit below both thresholds (9% gap, loadavg_start 1.75) and still
+    sit below both thresholds (10% gap over min, loadavg_start 1.75) and still
     need a same-tree rerun to convict — the flag catches the egregious
     cases so the driver sees them without hand-assembling the evidence.
     """
     evaluable = False
-    if value and value_min and value > 0:
+    if value and value_min and value_min > 0:
         evaluable = True
-        if (value - value_min) / value > CONTENTION_GAP_FRAC:
+        # gap measured against the MIN (value > 1.15*min fires), matching
+        # the documented "median >15% above its own min-of-reps"
+        if (value - value_min) / value_min > CONTENTION_GAP_FRAC:
             return True
     start = (kmeans_grid_load or {}).get("loadavg_start")
     if start:

@@ -241,6 +241,12 @@ def test_contention_suspect_two_trigger_arms():
     # and needed a same-tree rerun to convict (the flag is a suspicion
     # for the egregious cases, not the full adjudication)
     assert bench.contention_suspect(0.449, 0.408, clean_load) is False
+    # the gap is measured against the MIN, as the prose says: a median
+    # 16% above its min fires (under the old /median denominator this
+    # read 13.8% and silently did NOT — ADVICE r18)
+    assert bench.contention_suspect(0.58, 0.50, clean_load) is True
+    # and exactly 15% of the min does not (strict >)
+    assert bench.contention_suspect(0.575, 0.50, clean_load) is False
 
     # arm B: 1-min loadavg already ~2x this process's pre-grid share
     # BEFORE the kmeans grid starts — someone else is on the box

@@ -2,7 +2,6 @@
 (no Spark). Unit-tests the round attribution and median chaining on
 synthetic snapshots, plus a live smoke over the real repo history."""
 
-import glob
 import json
 import os
 import re
@@ -279,26 +278,60 @@ def test_live_trend_table_keeps_min_steal_columns_before_filename():
     saw_dash = saw_value = False
     for ln in data:
         toks = ln.split()
-        # filename is the last token (bar the fixed !contention flag) —
-        # nothing variable-width trails it
-        fname = toks[-2] if toks[-1] == "!contention" else toks[-1]
-        assert fname.endswith(".json")
-        min_tok = toks[-4] if toks[-1] == "!contention" else toks[-3]
+        # the filename token is the one ending .json; only the fixed
+        # markers ('!contention', '?suspect') may trail it
+        fi = next(i for i, t in enumerate(toks) if t.endswith(".json"))
+        assert all(t in ("!contention", "?suspect") for t in toks[fi + 1:])
+        min_tok = toks[fi - 2]
         saw_dash |= min_tok == "-"
-        saw_value |= min_tok not in ("-",) and not min_tok.endswith(".json")
+        saw_value |= min_tok != "-"
     # which eras the rendered rows must show is driven by the history
     # itself, not hardcoded (ADVICE r17: a fresh clone/fork whose
     # .benchmarks archive spans only one era must still pass): pre-r16
-    # snapshots lack value_min -> '-', r16+ record it -> a number
+    # snapshots lack value_min -> '-', r16+ record it -> a number.
+    # Enumerate candidates via snapshot_history() — the SAME source the
+    # rows come from — not a directory glob: an untracked local bench
+    # archive sits in .benchmarks/ but never becomes a row, so a glob
+    # could demand an era the table rightly omits (ADVICE r18)
     expect_dash = expect_value = False
-    for p in glob.glob(os.path.join(REPO, ".benchmarks", "bench_*_sf0.1.json")):
+    for e in bench_trend.snapshot_history():
+        if e.get("sf") != 0.1:
+            continue  # the table under test renders the sf0.1 tier
         try:
-            with open(p) as fh:
+            with open(os.path.join(REPO, e["file"])) as fh:
                 doc = json.load(fh)
         except (OSError, ValueError):
-            continue  # unparseable files never become table rows
+            continue  # unparseable/deleted files never become table rows
         if doc.get("value_min") is None:
             expect_dash = True
         else:
             expect_value = True
     assert saw_dash == expect_dash and saw_value == expect_value
+
+
+def test_format_row_renders_self_flag_and_outlier_markers():
+    """ADVICE r18: a run that flagged ITSELF (contention_suspect true in
+    its JSON tail) must be visible in the default human table, parallel
+    to the hand-curated '!contention' marker — previously only the
+    --json rows and MANIFEST.json carried the self-flag. Pinned on
+    synthetic rows via format_row (no git-history walk)."""
+    base = {"round": 18, "kind": "driver-gate", "headline": 0.374,
+            "cum_box_factor": 1.0, "file": "bench_x_sf0.1.json"}
+    # self-flag alone -> ' ?suspect' trails the filename
+    assert bench_trend.format_row(
+        {**base, "contention_suspect": True}).endswith(
+        "bench_x_sf0.1.json ?suspect")
+    # hand-curated outlier alone -> existing '!contention', no suspect
+    assert bench_trend.format_row(
+        {**base, "contention_outlier": "note"}).endswith(
+        "bench_x_sf0.1.json !contention")
+    # both markers render when both apply (independent evidence tracks)
+    assert bench_trend.format_row(
+        {**base, "contention_outlier": "note",
+         "contention_suspect": True}).endswith(
+        "bench_x_sf0.1.json !contention ?suspect")
+    # an explicit False self-verdict (clean gate) renders NO marker, and
+    # pre-r18 rows without the field don't either
+    assert bench_trend.format_row(
+        {**base, "contention_suspect": False}).endswith(".json")
+    assert bench_trend.format_row(base).endswith(".json")

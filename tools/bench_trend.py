@@ -336,6 +336,35 @@ def trend(entries: list[dict], sf: float) -> list[dict]:
     return rows
 
 
+def format_row(r: dict) -> str:
+    """One human-table line for a trend row (split out so the markers can
+    be pinned on synthetic rows without a git-history walk)."""
+    med = r.get("median_vs_prev")
+    noise = "~" if r.get("median_from_noise") else ""
+    # trailing markers, both rendered when both apply: '!contention' =
+    # hand-adjudicated outlier (CONTENTION_OUTLIERS), '?suspect' = the
+    # run flagged ITSELF via bench.contention_suspect — previously only
+    # --json/MANIFEST carried the self-flag, so a suspect row was
+    # invisible in the default table view (ADVICE r18)
+    flag = " !contention" if r.get("contention_outlier") else ""
+    if r.get("contention_suspect"):
+        flag += " ?suspect"
+    # fixed-width min/steal slots BEFORE the filename ('-' for
+    # pre-r16 rows) so columns stay aligned and the key stat isn't
+    # pushed past the longest field (ADVICE r16)
+    hmin = r.get("headline_min")
+    steal = r.get("run_steal_frac")
+    return (
+        f"  {('r' + str(r['round'])):>6} {r['kind']:<11} "
+        f"{r['headline'] if r['headline'] is not None else '-':>9} "
+        f"{(str(med) + noise) if med is not None else '-':>9} "
+        f"{r['cum_box_factor']:>7} "
+        f"{r.get('headline_box_adjusted', '-'):>8} "
+        f"{hmin if hmin is not None else '-':>7} "
+        f"{steal if steal is not None else '-':>6}  {r['file']}{flag}"
+    )
+
+
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=0.1)
@@ -370,23 +399,7 @@ def main(argv: list[str]) -> int:
         f"{'cum':>7} {'adj':>8} {'min':>7} {'steal':>6}  file"
     )
     for r in rows:
-        med = r.get("median_vs_prev")
-        noise = "~" if r.get("median_from_noise") else ""
-        flag = " !contention" if r.get("contention_outlier") else ""
-        # fixed-width min/steal slots BEFORE the filename ('-' for
-        # pre-r16 rows) so columns stay aligned and the key stat isn't
-        # pushed past the longest field (ADVICE r16)
-        hmin = r.get("headline_min")
-        steal = r.get("run_steal_frac")
-        print(
-            f"  {('r' + str(r['round'])):>6} {r['kind']:<11} "
-            f"{r['headline'] if r['headline'] is not None else '-':>9} "
-            f"{(str(med) + noise) if med is not None else '-':>9} "
-            f"{r['cum_box_factor']:>7} "
-            f"{r.get('headline_box_adjusted', '-'):>8} "
-            f"{hmin if hmin is not None else '-':>7} "
-            f"{steal if steal is not None else '-':>6}  {r['file']}{flag}"
-        )
+        print(format_row(r))
     outliers = [r for r in rows if r.get("contention_outlier")]
     for r in outliers:
         print(f"!contention {r['file']}: {r['contention_outlier']}")
