@@ -147,6 +147,15 @@ def test_diff_surfaces_min_headline_and_contention_signals():
     # a zero/negative recorded min never divides: path simply omitted
     degen = bench_diff.contention_signals({"value": 0.3, "value_min": 0.0})
     assert degen == {}
+    # r18+ snapshots carry their own two-arm verdict; the signal summary
+    # lifts it (False = "evaluated, clean" survives; absent stays absent)
+    flagged = bench_diff.contention_signals(
+        {"value": 0.36, "value_min": 0.3, "contention_suspect": True})
+    assert flagged["contention_suspect"] is True
+    clean = bench_diff.contention_signals(
+        {"value": 0.36, "value_min": 0.35, "contention_suspect": False})
+    assert clean["contention_suspect"] is False
+    assert "contention_suspect" not in sig  # pre-r18 shape: no key
 
 
 def test_bench_value_min_and_host_load_fields():

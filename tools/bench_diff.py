@@ -80,6 +80,11 @@ def contention_signals(doc: dict) -> dict:
         frac = (hl.get(phase) or {}).get("steal_frac")
         if frac is not None:
             out[f"{phase}_steal_frac"] = frac
+    # the run's own two-arm verdict (recorded since r18): carried so the
+    # diff view shows the self-flag next to the raw evidence, matching
+    # the manifest rows and the trend table's '?suspect' marker
+    if doc.get("contention_suspect") is not None:
+        out["contention_suspect"] = doc["contention_suspect"]
     return out
 
 
@@ -202,9 +207,14 @@ def main(argv: list[str]) -> int:
                 k: v for k, v in sig.items() if k.endswith("_steal_frac")
             }
             steal_s = ", ".join(f"{k}={v}" for k, v in steal.items())
+            suspect = sig.get("contention_suspect")
+            suspect_s = (
+                "" if suspect is None else f"; self-flag ?suspect={suspect}"
+            )
             print(
                 f"  in-snapshot evidence ({side}): median/min {gap_s}"
                 + (f"; {steal_s}" if steal_s else "")
+                + suspect_s
             )
     noise_tag = (
         "  [UNRELIABLE: median from sub-MIN_SEC noise rows — no sizable "
