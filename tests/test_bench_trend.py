@@ -13,6 +13,7 @@ TOOLS = os.path.join(
 )
 sys.path.insert(0, TOOLS)
 
+import bench_diff  # noqa: E402
 import bench_trend  # noqa: E402
 
 REPO = os.path.dirname(TOOLS)
@@ -279,8 +280,12 @@ def test_live_trend_table_keeps_min_steal_columns_before_filename():
     for ln in data:
         toks = ln.split()
         # the filename token is the one ending .json; only the fixed
-        # markers ('!contention', '?suspect') may trail it
-        fi = next(i for i, t in enumerate(toks) if t.endswith(".json"))
+        # markers ('!contention', '?suspect') may trail it (ADVICE r19:
+        # a missing token must fail the assertion, not StopIteration)
+        fi = next(
+            (i for i, t in enumerate(toks) if t.endswith(".json")), None
+        )
+        assert fi is not None, f"no filename token in row: {ln}"
         assert all(t in ("!contention", "?suspect") for t in toks[fi + 1:])
         min_tok = toks[fi - 2]
         saw_dash |= min_tok == "-"
@@ -292,15 +297,18 @@ def test_live_trend_table_keeps_min_steal_columns_before_filename():
     # Enumerate candidates via snapshot_history() — the SAME source the
     # rows come from — not a directory glob: an untracked local bench
     # archive sits in .benchmarks/ but never becomes a row, so a glob
-    # could demand an era the table rightly omits (ADVICE r18)
+    # could demand an era the table rightly omits (ADVICE r18). Parse
+    # each candidate with bench_diff.load_snapshot, mirroring enrich():
+    # it unwraps the {"parsed": ...} driver-artifact wrapper and rejects
+    # docs lacking "queries", so a future archived file in either shape
+    # is classified exactly as the rendered rows classify it (ADVICE r19)
     expect_dash = expect_value = False
     for e in bench_trend.snapshot_history():
         if e.get("sf") != 0.1:
             continue  # the table under test renders the sf0.1 tier
         try:
-            with open(os.path.join(REPO, e["file"])) as fh:
-                doc = json.load(fh)
-        except (OSError, ValueError):
+            doc = bench_diff.load_snapshot(os.path.join(REPO, e["file"]))
+        except (SystemExit, ValueError, OSError):
             continue  # unparseable/deleted files never become table rows
         if doc.get("value_min") is None:
             expect_dash = True
