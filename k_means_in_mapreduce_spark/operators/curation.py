@@ -404,13 +404,19 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_ngrams(F.col("toks"), DECON_NGRAM))
         ).alias("s"),
     )
+    # xxhash64, not md5 (r21): the hash only keys the join — 8-byte longs
+    # instead of 32-char hex strings quarter the broadcast/shuffle width
+    # and skip a cryptographic digest per n-gram; the oracle joins raw
+    # strings, so equality holds absent a 64-bit collision — the same
+    # accepted residual as jaccard_pairs' hashed posting lists
+    # (~n²/2⁶⁴ at catalog scale).
     bench = (
         sh.filter(F.col("doc_id") < BENCH_MAX_DOC_ID)
-        .select(F.md5("s").alias("h"))
+        .select(F.xxhash64("s").alias("h"))
         .distinct()
     )
     corpus = sh.filter(F.col("doc_id") >= BENCH_MAX_DOC_ID).select(
-        "doc_id", F.md5("s").alias("h")
+        "doc_id", F.xxhash64("s").alias("h")
     )
     return (
         corpus.join(F.broadcast(bench), "h")

@@ -348,10 +348,18 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
         sess.conf.set("spark.sql.adaptive.enabled", "false")
         base = base.cache()
         n = base.count()  # materialize the cache before iterating
-        first = base.first()  # 1-row read from the cache, not a rescan
-        if first is None:
+        if n == 0:
             raise ValueError("empty dataset")
-        dim = len(first[0])
+
+        # Init sample FIRST (against the just-materialized cache): its
+        # k rows also give `dim` for the re-tile sizing below, so the
+        # separate 1-row `first()` probe job this loop used to pay is
+        # gone (r21 — same sample, same seed, same partitioning of
+        # `base`, so the drawn centroids are unchanged).
+        centroids = sample_initial_centroids(
+            base, config.k, config.seed, "features"
+        )
+        dim = len(centroids[0])
 
         # Re-tile the cached points to the iteration-loop sweet spot (see
         # _iteration_partitions). Shrinking is a narrow coalesce straight
@@ -371,15 +379,13 @@ def fit(df: DataFrame, config: KMeansConfig) -> KMeansModel:
         if target < cur:
             points = base.coalesce(target)
         elif target > cur:
+            # no materializing count: iteration 1 fills this cache as a
+            # side effect of its own pass (one fewer job; iterations 2+
+            # read the cached re-tiled copy exactly as before)
             points = base.repartition(target).cache()
-            points.count()
             iter_cache = points
         else:
             points = base
-
-        centroids = sample_initial_centroids(
-            base, config.k, config.seed, "features"
-        )
 
         for it in range(1, config.max_iter + 1):
             n_iter = it

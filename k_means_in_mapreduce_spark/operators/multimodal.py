@@ -637,21 +637,32 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     This replaces the round-1..4 stub: ``decode_media`` now actually
     decodes; only genuinely codec-bound formats (PNG/JPEG without PIL)
     raise."""
-    m = media_real_blob_table(spark, sf_dir)
+    # Encode AND decode inside ONE Arrow stage (r21): the container bytes
+    # are produced and parsed on the same executor worker, so the blobs
+    # never cross the JVM<->Python boundary at all — only doc_id goes in
+    # and the typed metadata comes out (guide §4: minimize columns across
+    # the boundary; previously this chained media_real_blob_table's
+    # mapInPandas into a second decode mapInPandas, shipping every blob
+    # JVM->Python twice and Python->JVM once). Both codec halves still
+    # run for real — the decoder sees the same bytes it would read from
+    # storage.
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    encode_for_doc = _CODECS["encode_for_doc"]
     dec = _CODECS["decode"]
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # noqa: F811 — by-value closure
 
         for pdf in batches:
-            metas = [dec(b) for b in pdf["blob"]]
+            made = [encode_for_doc(int(i)) for i in pdf["doc_id"]]
+            metas = [dec(b) for _, b in made]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
-            out.insert(1, "media_type", pdf["media_type"].to_numpy())
+            out.insert(1, "media_type", [m for m, _ in made])
             yield out
 
-    return m.mapInPandas(
-        decode_batches,
+    return d.mapInPandas(
+        gen_and_decode,
         schema=(
             "doc_id bigint, media_type string, width bigint, height bigint, "
             "n_frames bigint, sample_rate bigint, n_channels bigint, "
@@ -683,9 +694,18 @@ def multimodal_frame_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     each frame's fill, so the oracle pins every (doc_id, frame_idx,
     mean_y) individually — an off-by-one in the decoder's frame stride
     corrupts specific rows and fails the gate."""
-    m = media_real_blob_table(spark, sf_dir).filter(
-        F.col("media_type") == "video"
+    # Same single-Arrow-stage fusion as multimodal_decode_real (r21): the
+    # video rows are selected with the JVM-side predicate the parameter
+    # schedule defines (doc_id % 3 == 2 — the same pre-decode metadata
+    # filter media_real_blob_table's media_type carries), then each Y4M
+    # container is encoded AND frame-walked inside one Python stage; the
+    # blobs never cross the JVM boundary.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 3 == 2)
     )
+    encode_for_doc = _CODECS["encode_for_doc"]
     dec_y4m = _CODECS["decode_y4m"]
 
     def frame_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -693,13 +713,14 @@ def multimodal_frame_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "mean_y": []}
-            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            for doc_id in pdf["doc_id"]:
+                _mt, blob = encode_for_doc(int(doc_id))
                 for i, fm in enumerate(dec_y4m(blob)["frame_means"]):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["mean_y"].append(fm)
             yield pd.DataFrame(out)
 
-    return m.mapInPandas(
+    return d.mapInPandas(
         frame_rows, schema="doc_id bigint, frame_idx bigint, mean_y double"
     )

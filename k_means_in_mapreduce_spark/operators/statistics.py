@@ -100,11 +100,14 @@ def exact_quantiles(
          the shuffle carries one row per DISTINCT (key, value);
       2. running ``sum(cnt)`` window per key over value order — the CDF;
       3. the interpolation definition ``t = (n-1)q`` needs only the order
-         statistics at ranks ``floor(t)+1`` and ``floor(t)+2``: 2·|q|
-         target ranks per group, broadcast back against the CDF as an
-         equi-join on key with a rank-range residual — one broadcast hash
-         join, one CDF scan for ALL quantiles at once;
-      4. re-pivot to one row per group and interpolate.
+         statistics at ranks ``floor(t)+1`` and ``floor(t)+2``: with the
+         group total ``n_rows`` carried on every CDF row (it comes along
+         with the bucket split points in the one per-key broadcast), the
+         2·|q| target ranks are plain row arithmetic — a narrow
+         explode + rank-interval filter inside the CDF's own codegen
+         stage, one CDF scan for ALL quantiles at once;
+      4. ONE final hash-agg per group assembles both order statistics per
+         quantile and interpolates.
 
     Same definition as Spark ``percentile`` / DuckDB ``quantile_cont`` /
     ``numpy.percentile(method="linear")`` — property-tested against NumPy
@@ -140,26 +143,35 @@ def exact_quantiles(
     df = df.filter(F.col(val_col).isNotNull())
     # ONE scan of the base table: everything downstream (split points,
     # group totals, the CDF itself) derives from the distinct-value counts.
-    # localCheckpoint so the three consumers share the materialized result
+    # localCheckpoint so the consumers share the materialized result
     # instead of re-scanning (measured 4.9s -> 1.8s at sf0.1; at 100 TB
-    # this is the difference between one pass and three).
+    # this is the difference between one pass and three). Eager on
+    # purpose: a lazy checkpoint materialized by the first consumer saves
+    # one job but makes Spark's deferred doCheckpoint() pass spam
+    # "non-existent accumulator" ERRORs when it runs after the consumer
+    # query's metrics are unregistered (measured: 50 such lines per
+    # bench sweep) — not worth one small job.
     counts = (
         df.groupBy(key_col, val_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    # 2a: per-key split points over the DISTINCT values (approximate and
-    # unweighted is fine — ANY assignment monotone in value yields a
-    # correct CDF; accuracy only affects balance, and the running-sum
-    # stage being balanced needs equi-DISTINCT-depth buckets, which is
-    # exactly what unweighted percentiles over the distinct set give).
-    # accuracy scales with the bucket count: a fixed accuracy=100 bounds
-    # rank error at 1/100 of the distinct set, so requesting more than
-    # ~100 split points would make adjacent points collide and silently
-    # cap the effective parallelism of the running-sum stage at ~100
-    # buckets — exactly wrong on the large clusters where n_buckets
-    # (derived from defaultParallelism) is highest.
-    splits = counts.groupBy(key_col).agg(
+    # 2a: ONE per-key pass over the distinct values computes BOTH the
+    # bucket split points AND the group total n_rows (r21: these were two
+    # separate aggregations over counts, each shipped to the executors as
+    # its own broadcast — same answers, one fewer full pass + broadcast).
+    # Split points are approximate and unweighted, which is fine — ANY
+    # assignment monotone in value yields a correct CDF; accuracy only
+    # affects balance, and the running-sum stage being balanced needs
+    # equi-DISTINCT-depth buckets, which is exactly what unweighted
+    # percentiles over the distinct set give. accuracy scales with the
+    # bucket count: a fixed accuracy=100 bounds rank error at 1/100 of
+    # the distinct set, so requesting more than ~100 split points would
+    # make adjacent points collide and silently cap the effective
+    # parallelism of the running-sum stage at ~100 buckets — exactly
+    # wrong on the large clusters where n_buckets (derived from
+    # defaultParallelism) is highest.
+    perkey = counts.groupBy(key_col).agg(
         F.approx_percentile(
             val_col,
             F.array(
@@ -169,17 +181,23 @@ def exact_quantiles(
                 ]
             ),
             F.lit(max(100, 4 * n_buckets)),
-        ).alias("_splits")
+        ).alias("_splits"),
+        F.sum("cnt").alias("n_rows"),
     )
     # bucket id = number of split points strictly below the value — a
-    # narrow map after a broadcast join of the k×(B-1) split table
-    bucketed = counts.join(F.broadcast(splits), key_col).withColumn(
+    # narrow map after a broadcast join of the k×(B-1) split table;
+    # n_rows rides along on every row (needed by the rank arithmetic
+    # below), so no second per-key aggregate/broadcast exists.
+    bucketed = counts.join(F.broadcast(perkey), key_col).withColumn(
         "_bkt",
         F.size(F.filter("_splits", lambda s: s < F.col(val_col))),
     )
     # 2b: per-bucket totals -> exclusive running offset per (key, bucket);
     # window over <= n_buckets rows per key — bounded driver-of-skew-free
-    # state at any n
+    # state at any n. boff is (keys x buckets) rows — the same size class
+    # as the splits table already broadcast above, so broadcast it too
+    # instead of letting the planner sort-merge the distinct-value table
+    # against it.
     btot = bucketed.groupBy(key_col, "_bkt").agg(F.sum("cnt").alias("_btot"))
     boff = btot.withColumn(
         "_boff",
@@ -194,7 +212,7 @@ def exact_quantiles(
     ).select(key_col, "_bkt", "_boff")
     # 2c: local running sum within the bucket + the bucket's offset
     cdf = (
-        bucketed.join(boff, [key_col, "_bkt"])
+        bucketed.join(F.broadcast(boff), [key_col, "_bkt"])
         .withColumn(
             "cum",
             F.col("_boff")
@@ -204,58 +222,81 @@ def exact_quantiles(
         )
         .drop("_splits", "_bkt", "_boff")
     )
-    n = counts.groupBy(key_col).agg(F.sum("cnt").alias("n_rows"))
-    qcol = F.explode(
-        F.array(*[F.lit(q) for q in quantiles.values()])
-    ).alias("q")
-    ranks = (
-        n.select(F.col(key_col).alias("_key"), "n_rows", qcol)
-        .withColumn("t", (F.col("n_rows") - 1) * F.col("q"))
-        .withColumn("i0", F.floor("t") + 1)
-        .withColumn("i1", F.least(F.floor("t") + 2, F.col("n_rows")))
-        .withColumn("frac", F.col("t") - F.floor("t"))
-    )
-    need = ranks.select(
-        "_key",
-        "q",
-        "frac",
+    # 3: rank targets INLINE on the CDF rows (r21). The interpolation
+    # definition t = (n_rows-1)·q needs the order statistics at ranks
+    # floor(t)+1 and floor(t)+2; since n_rows is already a column on
+    # every CDF row, the target ranks are plain row arithmetic — the old
+    # shape built a separate (key, q, rank) table from a third pass over
+    # counts and broadcast-joined it back, costing an aggregate job, a
+    # broadcast build, and a hash probe per row for the same rows. The
+    # explode fans each CDF row to |q|·2 candidates inside the same
+    # codegen stage and the rank-interval filter keeps exactly the rows
+    # the old join kept: rank r lives on the distinct-value row whose CDF
+    # interval (cum-cnt, cum] contains r.
+    ex = cdf.select(
+        key_col,
+        F.col(val_col).alias("_v"),
+        "cnt",
+        "cum",
         "n_rows",
         F.explode(
+            F.array(*[F.lit(q) for q in quantiles.values()])
+        ).alias("_q"),
+    ).withColumn("_t", (F.col("n_rows") - 1) * F.col("_q"))
+    cand = ex.select(
+        key_col,
+        "_v",
+        "cnt",
+        "cum",
+        "n_rows",
+        "_q",
+        (F.col("_t") - F.floor("_t")).alias("_frac"),
+        F.explode(
             F.array(
-                F.struct(F.lit(0).alias("which"), F.col("i0").alias("rank")),
-                F.struct(F.lit(1).alias("which"), F.col("i1").alias("rank")),
+                F.struct(
+                    F.lit(0).alias("which"),
+                    (F.floor("_t") + 1).alias("rank"),
+                ),
+                F.struct(
+                    F.lit(1).alias("which"),
+                    F.least(F.floor("_t") + 2, F.col("n_rows")).alias("rank"),
+                ),
             )
-        ).alias("w"),
-    ).select(
-        "_key", "q", "frac", "n_rows",
-        F.col("w.which").alias("which"), F.col("w.rank").alias("rank"),
+        ).alias("_w"),
     )
-    # order statistic at rank r lives on the distinct-value row whose CDF
-    # interval (cum-cnt, cum] contains r
-    vals = cdf.join(
-        F.broadcast(need),
-        (F.col(key_col) == F.col("_key"))
-        & (F.col("rank") > F.col("cum") - F.col("cnt"))
-        & (F.col("rank") <= F.col("cum")),
-    ).select(
-        "_key", "q", "frac", "n_rows", "which",
-        F.col(val_col).alias("v"),
+    vals = cand.filter(
+        (F.col("_w.rank") > F.col("cum") - F.col("cnt"))
+        & (F.col("_w.rank") <= F.col("cum"))
     )
-    interpolated = (
-        vals.groupBy("_key", "q", "frac", "n_rows")
-        .agg(
-            F.min(F.when(F.col("which") == 0, F.col("v"))).alias("v0"),
-            F.max(F.when(F.col("which") == 1, F.col("v"))).alias("v1"),
+    # 4: ONE final hash-agg per key assembles v0/v1/frac for every
+    # quantile and interpolates (the old two-level groupBy — first
+    # (key, q), then key — cost an extra exchange for the same scalars;
+    # vals holds exactly 2·|q| rows per key, so the single-level agg's
+    # state is the same handful of doubles).
+    aggs = [F.max("n_rows").alias("n_rows")]
+    out_cols = [F.col(key_col), F.col("n_rows")]
+    for name, q in quantiles.items():
+        aggs.append(
+            F.min(
+                F.when((F.col("_q") == q) & (F.col("_w.which") == 0), F.col("_v"))
+            ).alias(f"_v0_{name}")
         )
-        .withColumn("val", F.col("v0") + F.col("frac") * (F.col("v1") - F.col("v0")))
-    )
-    return interpolated.groupBy(F.col("_key").alias(key_col)).agg(
-        F.max("n_rows").alias("n_rows"),
-        *[
-            F.min(F.when(F.col("q") == q, F.col("val"))).alias(name)
-            for name, q in quantiles.items()
-        ],
-    )
+        aggs.append(
+            F.max(
+                F.when((F.col("_q") == q) & (F.col("_w.which") == 1), F.col("_v"))
+            ).alias(f"_v1_{name}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("_q") == q, F.col("_frac"))).alias(f"_f_{name}")
+        )
+        out_cols.append(
+            (
+                F.col(f"_v0_{name}")
+                + F.col(f"_f_{name}")
+                * (F.col(f"_v1_{name}") - F.col(f"_v0_{name}"))
+            ).alias(name)
+        )
+    return vals.groupBy(key_col).agg(*aggs).select(*out_cols)
 
 
 @query("lineitem_price_quantiles_approx")  # sketch — error-bound-tested

@@ -113,13 +113,34 @@ def _run_to_memory(
     agg: DataFrame,
     mode: str = "complete",
     state_partitions: int = STATE_PARTITIONS,
+    no_data_batches: bool = False,
 ) -> DataFrame:
     """Execute a streaming aggregation to completion against a uniquely
-    named memory sink; return the result as a static DataFrame."""
+    named memory sink; return the result as a static DataFrame.
+
+    ``no_data_batches`` maps to ``spark.sql.streaming.noDataMicroBatches
+    .enabled`` for the query's duration. Default False: after the data is
+    exhausted, the extra empty micro-batch Spark schedules to advance the
+    watermark only spins every state store (and, in complete mode,
+    rewrites the whole sink) without changing what a bounded replay
+    emits — complete-mode aggs re-emit everything per batch anyway,
+    append-mode dedup/inner-join rows are emitted in the batch both
+    inputs arrive (measured at sf0.1: inner join 1.9 -> 1.3 s, streaming
+    dedup 1.1 -> 0.85 s). The LEFT OUTER join passes True: its unmatched
+    rows are emitted ONLY when the final watermark passes their join
+    window, which happens in exactly that trailing no-data batch —
+    skipping it would drop those rows (semantics, not speed)."""
     name = f"stream_result_{next(_mem_counter)}"
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -138,6 +159,9 @@ def _run_to_memory(
         out = spark.table(name).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
         # DROP the sink's temp view on EVERY path — it pins the full
         # materialized result in driver memory for the session lifetime,
         # and a failed query (schema mismatch, executor loss) must not
@@ -301,8 +325,13 @@ def stream_stream_error_click_left_join(
     cutoff. State size and eviction are identical to the inner form."""
     errors, clicks = _error_click_sides(spark, sf_dir)
     joined = _error_click_join(errors, clicks, "left_outer")
+    # no_data_batches=True is REQUIRED here: the unmatched-error rows are
+    # emitted by the trailing watermark-advancing batch (see _run_to_memory)
     return _run_to_memory(
-        joined, mode="append", state_partitions=JOIN_STATE_PARTITIONS
+        joined,
+        mode="append",
+        state_partitions=JOIN_STATE_PARTITIONS,
+        no_data_batches=True,
     )
 
 
@@ -399,11 +428,23 @@ def stream_kmeans_scoring(
         for r in counts:
             totals[r["cluster_id"]] = totals.get(r["cluster_id"], 0) + r["n"]
 
-    q = stream.writeStream.foreachBatch(score_batch).start()
+    # stateless foreachBatch: a trailing no-data batch would only call
+    # score_batch with an empty frame — skip it (same rationale and
+    # restore discipline as _run_to_memory)
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        q.processAllAvailable()
+        q = stream.writeStream.foreachBatch(score_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
 
     rows = [(cid, n) for cid, n in sorted(totals.items())]
     return spark.createDataFrame(rows, "cluster_id int, num_points bigint")
