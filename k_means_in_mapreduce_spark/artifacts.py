@@ -64,8 +64,14 @@ def source_fingerprint(path: str) -> str:
         parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
-# In-process memo: (abs(sf_dir), artifact name) -> (full meta dict, path).
-_ARTIFACT_CACHE: dict[tuple[str, str], tuple[dict, str]] = {}
+# In-process memo: (abs(sf_dir), artifact name) -> (full meta dict, path,
+# per-session DataFrame memo). The inner dict caches the served
+# spark.read.parquet PLAN per session (weakref-checked, same pattern as
+# sources.tables._TABLE_MEMO): building the reader re-lists the artifact
+# dir and reads footers on the driver every call; the plan is immutable
+# and every action over it still scans the artifact files — no data or
+# results are cached.
+_ARTIFACT_CACHE: dict[tuple[str, str], tuple[dict, str, dict]] = {}
 
 def _meta_is(meta_file: str, data_dir: str, want: dict) -> bool:
     import json
@@ -181,5 +187,14 @@ def materialized_artifact(
         meta_file = os.path.join(root, "meta.json")
         if not _meta_is(meta_file, data_dir, want):
             _locked_rebuild(root, data_dir, meta_file, want, build)
-        _ARTIFACT_CACHE[key] = (want, data_dir)
-    return spark.read.parquet(_ARTIFACT_CACHE[key][1])
+        _ARTIFACT_CACHE[key] = (want, data_dir, {})
+        hit = _ARTIFACT_CACHE[key]
+    import weakref
+
+    app_id = spark.sparkContext.applicationId
+    df_hit = hit[2].get(app_id)
+    if df_hit is not None and df_hit[0]() is spark:
+        return df_hit[1]
+    df = spark.read.parquet(hit[1])
+    hit[2][app_id] = (weakref.ref(spark), df)
+    return df

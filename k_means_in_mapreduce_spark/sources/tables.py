@@ -36,13 +36,46 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# In-process memo of loaded-table DataFrames. A DataFrame is an immutable
+# logical plan, so sharing one across invocations is safe — but building
+# it is NOT free: spark.read.parquet() lists the path and reads footers
+# ON THE DRIVER to infer the schema, ~30-60 ms per call, and the bench /
+# driver harness invoke every query several times with 1-3 tables each.
+# Keyed on (applicationId, abs sf_dir, table, SOURCE CONTENT FINGERPRINT)
+# — the staleness rule of artifacts.py and the streaming schema memo — so
+# regenerated data rebuilds the plan; the stored weakref must still point
+# at the SAME session object (a recreated session with a recycled id()
+# or a stopped session can never be served a stale plan). Execution is
+# untouched: every action over the memoized plan still scans the parquet
+# files themselves — this caches the plan, never data or results.
+_TABLE_MEMO: dict[tuple[str, str, str, str], tuple[object, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+    import weakref
+
+    from ..artifacts import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        source_fingerprint(os.path.join(sf_dir, f"{name}.parquet")),
+    )
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "embeddings":
-        df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "embeddings":
+            df = df.withColumn(
+                "embedding", F.col("embedding").cast("array<double>")
+            )
+    _TABLE_MEMO[key] = (weakref.ref(spark), df)
     return df
 
 

@@ -405,8 +405,21 @@ def stream_kmeans_scoring(
     # Probe the file's own schema like read_events_stream does — a
     # hard-coded struct silently misreads a regenerated fixture whose
     # embedding element type or column set changed (the batch loader
-    # adapts automatically; the stream source must be told).
-    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    # adapts automatically; the stream source must be told). Memoized per
+    # (sf_dir, session, source fingerprint) in the same _PROBED_SCHEMA
+    # dict the events probe uses — the footer read costs a driver job's
+    # worth of latency per invocation otherwise.
+    from ..artifacts import source_fingerprint
+
+    _key = (
+        os.path.abspath(sf_dir) + "#embeddings",
+        spark.sparkContext.applicationId,
+        source_fingerprint(f"{sf_dir}/embeddings.parquet"),
+    )
+    schema = _PROBED_SCHEMA.get(_key)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+        _PROBED_SCHEMA[_key] = schema
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
