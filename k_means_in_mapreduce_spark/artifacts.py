@@ -64,13 +64,36 @@ def source_fingerprint(path: str) -> str:
         parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
+def session_df_memo(memo: dict, key: tuple, spark: SparkSession, build):
+    """Serve an immutable DataFrame PLAN memoized per session.
+
+    ONE implementation of the r21 reader-plan memo idiom (loaded tables,
+    served artifacts, the IVF cell reader): building a reader re-lists
+    the path and reads parquet footers on the driver every call, while
+    the resulting plan is immutable — every action over it still scans
+    the files themselves, so no data or results are ever cached. ``key``
+    must carry whatever identifies the plan's validity (source content
+    fingerprint, applicationId); the stored session weakref must
+    additionally point at the SAME session object, so a stopped or
+    recreated session (CPython reuses addresses) can never be served a
+    stale plan. Entries whose session died are evicted on the next
+    insert — a memoized plan strong-references its session, so without
+    eviction dead sessions would stay pinned for process lifetime."""
+    import weakref
+
+    hit = memo.get(key)
+    if hit is not None and hit[0]() is spark:
+        return hit[1]
+    df = build()
+    for k in [k for k, v in memo.items() if v[0]() is None]:
+        del memo[k]
+    memo[key] = (weakref.ref(spark), df)
+    return df
+
+
 # In-process memo: (abs(sf_dir), artifact name) -> (full meta dict, path,
 # per-session DataFrame memo). The inner dict caches the served
-# spark.read.parquet PLAN per session (weakref-checked, same pattern as
-# sources.tables._TABLE_MEMO): building the reader re-lists the artifact
-# dir and reads footers on the driver every call; the plan is immutable
-# and every action over it still scans the artifact files — no data or
-# results are cached.
+# spark.read.parquet PLAN per session via :func:`session_df_memo`.
 _ARTIFACT_CACHE: dict[tuple[str, str], tuple[dict, str, dict]] = {}
 
 def _meta_is(meta_file: str, data_dir: str, want: dict) -> bool:
@@ -189,12 +212,9 @@ def materialized_artifact(
             _locked_rebuild(root, data_dir, meta_file, want, build)
         _ARTIFACT_CACHE[key] = (want, data_dir, {})
         hit = _ARTIFACT_CACHE[key]
-    import weakref
-
-    app_id = spark.sparkContext.applicationId
-    df_hit = hit[2].get(app_id)
-    if df_hit is not None and df_hit[0]() is spark:
-        return df_hit[1]
-    df = spark.read.parquet(hit[1])
-    hit[2][app_id] = (weakref.ref(spark), df)
-    return df
+    return session_df_memo(
+        hit[2],
+        (spark.sparkContext.applicationId,),
+        spark,
+        lambda: spark.read.parquet(hit[1]),
+    )

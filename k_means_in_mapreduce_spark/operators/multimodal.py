@@ -566,30 +566,9 @@ def decode_media(blob: bytes, media_type: str | None = None) -> dict:
 # and a header misparse fails the gate. ONE Python definition
 # (_CODECS["media_params"], nested in _build_codecs so executors get it
 # by value); only the SQL mirror in the oracle strings below is a second
-# copy to keep in sync.
-def media_real_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-container twin of ``media_blob_table``: one genuine PPM / WAV /
-    Y4M payload per document, parameters from ``_real_media_params``.
-    Generation is an Arrow-batched mapInPandas over the documents scan —
-    the same distributed shape real ingest has (blobs materialize on
-    executors, never on the driver)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    encode_for_doc = _CODECS["encode_for_doc"]
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import pandas as pd  # noqa: F811 — by-value closure
-
-        for pdf in batches:
-            made = [encode_for_doc(int(i)) for i in pdf["doc_id"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": [m for m, _ in made],
-                    "blob": [b for _, b in made],
-                }
-            )
-
-    return d.mapInPandas(gen, schema="doc_id bigint, media_type string, blob binary")
+# copy to keep in sync. (A standalone blob-table generator existed
+# before r21; the fused encode+decode stages below made it dead code and
+# it was removed — _CODECS["encode_for_doc"] is the single generator.)
 
 
 @query(
@@ -641,9 +620,9 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are produced and parsed on the same executor worker, so the blobs
     # never cross the JVM<->Python boundary at all — only doc_id goes in
     # and the typed metadata comes out (guide §4: minimize columns across
-    # the boundary; previously this chained media_real_blob_table's
-    # mapInPandas into a second decode mapInPandas, shipping every blob
-    # JVM->Python twice and Python->JVM once). Both codec halves still
+    # the boundary; previously a standalone blob-table generator's
+    # mapInPandas chained into a second decode mapInPandas, shipping
+    # every blob JVM->Python twice and Python->JVM once). Both halves still
     # run for real — the decoder sees the same bytes it would read from
     # storage.
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -696,8 +675,8 @@ def multimodal_frame_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupts specific rows and fails the gate."""
     # Same single-Arrow-stage fusion as multimodal_decode_real (r21): the
     # video rows are selected with the JVM-side predicate the parameter
-    # schedule defines (doc_id % 3 == 2 — the same pre-decode metadata
-    # filter media_real_blob_table's media_type carries), then each Y4M
+    # schedule defines (doc_id % 3 == 2 — the media_params media_type
+    # rule, i.e. the pre-decode metadata filter), then each Y4M
     # container is encoded AND frame-walked inside one Python stage; the
     # blobs never cross the JVM boundary.
     d = (

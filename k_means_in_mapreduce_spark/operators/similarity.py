@@ -185,29 +185,28 @@ IVF_PROBES = 6  # cells searched per query (6/16 of the data per probe)
 # cross-process cache: a fresh session reloads it without re-fitting.
 _IVF_INDEX_CACHE: dict[str, tuple[str, list[list[float]], str]] = {}
 
-# Per-session reader-plan memo for the cell parquet (weakref-checked, the
-# sources.tables._TABLE_MEMO pattern): the partitioned index dir costs a
-# 16-directory listing + footer reads on the driver per spark.read call;
-# the plan is immutable and every probe still scans the cell files.
+# Per-session reader-plan memo for the cell parquet (plans, never data —
+# see artifacts.session_df_memo): the partitioned index dir costs a
+# 16-directory listing + footer reads on the driver per spark.read call.
 _IVF_READER_MEMO: dict[tuple[str, str, str], tuple[object, DataFrame]] = {}
 
 
-def _read_ivf_cells(spark: SparkSession, sf_dir: str, cells_dir: str) -> DataFrame:
-    """Reader for the cell parquet of the CURRENT index build (callers
-    must hold a fresh ``build_ivf_index`` result, which guarantees the
-    _IVF_INDEX_CACHE entry matches the on-disk artifact)."""
+def _read_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader for the sf_dir's current IVF cell parquet. Self-contained:
+    resolves the index through ``build_ivf_index`` itself (a memo hit
+    when the caller just built it), so there is no call-ordering
+    contract to violate."""
     import os
-    import weakref
 
+    from ..artifacts import session_df_memo
+
+    _centroids, cells_dir = build_ivf_index(spark, sf_dir)
     sf_key = os.path.abspath(sf_dir)
     fp = _IVF_INDEX_CACHE[sf_key][0]
     key = (spark.sparkContext.applicationId, sf_key, fp)
-    hit = _IVF_READER_MEMO.get(key)
-    if hit is not None and hit[0]() is spark:
-        return hit[1]
-    df = spark.read.parquet(cells_dir)
-    _IVF_READER_MEMO[key] = (weakref.ref(spark), df)
-    return df
+    return session_df_memo(
+        _IVF_READER_MEMO, key, spark, lambda: spark.read.parquet(cells_dir)
+    )
 
 
 def _source_fingerprint(path: str) -> str:
@@ -356,7 +355,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vector import dot
 
-    idx = _read_ivf_cells(spark, sf_dir, cells_dir)
+    idx = _read_ivf_cells(spark, sf_dir)
     qn = sum(x * x for x in qv) ** 0.5
     qunit = F.array(*[F.lit(float(x) / qn) for x in qv])
     # index vectors are stored pre-normalized -> cosine is ONE dot product
@@ -411,7 +410,7 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot, l2_norm
 
     centroids, cells_dir = build_ivf_index(spark, sf_dir)
-    idx = _read_ivf_cells(spark, sf_dir, cells_dir)
+    idx = _read_ivf_cells(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < KNN_JOIN_QUERY_MAX_ID).select(
         F.col("vec_id").alias("qid"),

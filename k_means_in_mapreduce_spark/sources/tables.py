@@ -36,26 +36,39 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-# In-process memo of loaded-table DataFrames. A DataFrame is an immutable
-# logical plan, so sharing one across invocations is safe — but building
-# it is NOT free: spark.read.parquet() lists the path and reads footers
-# ON THE DRIVER to infer the schema, ~30-60 ms per call, and the bench /
-# driver harness invoke every query several times with 1-3 tables each.
-# Keyed on (applicationId, abs sf_dir, table, SOURCE CONTENT FINGERPRINT)
-# — the staleness rule of artifacts.py and the streaming schema memo — so
-# regenerated data rebuilds the plan; the stored weakref must still point
-# at the SAME session object (a recreated session with a recycled id()
-# or a stopped session can never be served a stale plan). Execution is
-# untouched: every action over the memoized plan still scans the parquet
-# files themselves — this caches the plan, never data or results.
+# In-process memo of loaded-table DataFrames (plans, never data/results —
+# see artifacts.session_df_memo): spark.read.parquet() lists the path and
+# reads footers ON THE DRIVER to infer the schema, ~30-60 ms per call,
+# and the bench / driver harness invoke every query several times with
+# 1-3 tables each. Keyed on (applicationId, abs sf_dir, table, SOURCE
+# CONTENT FINGERPRINT) — the staleness rule of artifacts.py and the
+# streaming schema memo — so regenerated data rebuilds the plan.
 _TABLE_MEMO: dict[tuple[str, str, str, str], tuple[object, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
-    import weakref
 
-    from ..artifacts import source_fingerprint
+    from ..artifacts import session_df_memo, source_fingerprint
+
+    if name == "events":
+        # on EVERY call (memo hit included): load_table has always
+        # guaranteed this conf before an events read, and the memoized
+        # plan still needs it at SCAN time on int64-nanos fixtures — a
+        # later conf RESET must not break the next action
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def build() -> DataFrame:
+        if name == "events":
+            return normalize_event_ts(
+                spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "embeddings":
+            df = df.withColumn(
+                "embedding", F.col("embedding").cast("array<double>")
+            )
+        return df
 
     key = (
         spark.sparkContext.applicationId,
@@ -63,20 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         name,
         source_fingerprint(os.path.join(sf_dir, f"{name}.parquet")),
     )
-    hit = _TABLE_MEMO.get(key)
-    if hit is not None and hit[0]() is spark:
-        return hit[1]
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "embeddings":
-            df = df.withColumn(
-                "embedding", F.col("embedding").cast("array<double>")
-            )
-    _TABLE_MEMO[key] = (weakref.ref(spark), df)
-    return df
+    return session_df_memo(_TABLE_MEMO, key, spark, build)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> None:

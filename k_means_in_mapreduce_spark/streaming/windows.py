@@ -129,7 +129,16 @@ def _run_to_memory(
     dedup 1.1 -> 0.85 s). The LEFT OUTER join passes True: its unmatched
     rows are emitted ONLY when the final watermark passes their join
     window, which happens in exactly that trailing no-data batch —
-    skipping it would drop those rows (semantics, not speed)."""
+    skipping it would drop those rows (semantics, not speed).
+
+    Concurrency note (the kmeans_df.fit AQE-toggle hazard class): SQL
+    confs are SESSION-global, so two concurrent streaming queries on the
+    SAME SparkSession would race this toggle (and the shuffle-partitions
+    one above it, which pins STATE partitioning) — a loser reading the
+    other's "false" could silently drop the left join's unmatched rows.
+    Callers needing concurrent streaming runs must give each its own
+    ``spark.newSession()``; the registry/bench/driver run queries
+    sequentially."""
     name = f"stream_result_{next(_mem_counter)}"
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
