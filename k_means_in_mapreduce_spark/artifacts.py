@@ -40,16 +40,56 @@ def _scratch(sf_dir: str, name: str) -> str:
     return os.path.join(_REPO_ROOT, ".tmp", f"{name}--{scratch_tag(sf_dir)}")
 
 
+# source_fingerprint memo: abs path -> (shallow stat signature, fingerprint).
+# The fingerprint became a per-invocation tax in r21 (it keys the reader-plan
+# memos, so EVERY query invocation calls it): for a directory table the full
+# recursive walk+stat is exactly the §6 listing cost the memos exist to avoid
+# — a million-object listing per invocation at 100 TB. The walk now runs only
+# when the shallow signature changes (see _shallow_sig for the staleness
+# contract); entries are tiny (two tuples), unbounded growth is not a concern
+# (one entry per distinct table path).
+_FP_MEMO: dict[str, tuple[tuple, str]] = {}
+
+
+def _shallow_sig(path: str) -> tuple:
+    """O(1) staleness signature for :func:`source_fingerprint`'s memo: the
+    stat of the path entry itself plus, for directories, the _SUCCESS
+    marker's stat. Regeneration always invalidates it on this repo's write
+    paths: a single-file table is covered exactly (its own size+mtime IS
+    the fingerprint input), and every directory table is written by Spark
+    ``mode("overwrite")``, which deletes and recreates the directory (new
+    inode + mtime) and rewrites _SUCCESS. The documented staleness trade:
+    a data file mutated IN PLACE inside a subdirectory, preserving the
+    root dir's entry and _SUCCESS, would be missed until process restart —
+    no supported writer does that."""
+    st = os.stat(path)
+    sig: tuple = (st.st_ino, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        try:
+            s = os.stat(os.path.join(path, "_SUCCESS"))
+            sig += (s.st_ino, s.st_mtime_ns, s.st_size)
+        except OSError:
+            sig += (None, None, None)
+    return sig
+
+
 def source_fingerprint(path: str) -> str:
     """Cheap content fingerprint of a parquet file/dir: name+size+mtime of
     every data file. Regenerated source data -> different fingerprint ->
     derived artifacts (bucketed copies, ANN indexes) are rebuilt instead
-    of silently reused."""
+    of silently reused. Memoized behind an O(1) shallow stat signature
+    (see :func:`_shallow_sig`) so the per-invocation cost is two stat
+    calls, not a recursive listing."""
     import hashlib
 
+    apath = os.path.abspath(path)
+    sig = _shallow_sig(apath)
+    hit = _FP_MEMO.get(apath)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
     parts = []
-    if os.path.isdir(path):
-        for dirpath, _, files in sorted(os.walk(path)):
+    if os.path.isdir(apath):
+        for dirpath, _, files in sorted(os.walk(apath)):
             for fn in sorted(files):
                 full = os.path.join(dirpath, fn)
                 st = os.stat(full)
@@ -57,12 +97,20 @@ def source_fingerprint(path: str) -> str:
                 # data file moved across subdirectories (rename preserves
                 # mtime) must change the fingerprint, or a stale bucketed
                 # copy / IVF index would be silently reused
-                rel = os.path.relpath(full, path)
+                rel = os.path.relpath(full, apath)
                 parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     else:
-        st = os.stat(path)
-        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
+        st = os.stat(apath)
+        parts.append(f"{os.path.basename(apath)}:{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()
+    _FP_MEMO[apath] = (sig, fp)
+    return fp
+
+# bound for every session_df_memo dict: far above the working set (one
+# entry per live (table, session) pair — ~10 tables x a handful of live
+# sessions) while bounding stale-fingerprint growth
+_MEMO_CAP = 64
+
 
 def session_df_memo(memo: dict, key: tuple, spark: SparkSession, build):
     """Serve an immutable DataFrame PLAN memoized per session.
@@ -78,7 +126,12 @@ def session_df_memo(memo: dict, key: tuple, spark: SparkSession, build):
     recreated session (CPython reuses addresses) can never be served a
     stale plan. Entries whose session died are evicted on the next
     insert — a memoized plan strong-references its session, so without
-    eviction dead sessions would stay pinned for process lifetime."""
+    eviction dead sessions would stay pinned for process lifetime — and
+    the memo is capped at _MEMO_CAP entries (oldest-inserted dropped):
+    entries for a LIVE session whose source was since regenerated carry a
+    dead fingerprint in their key and would otherwise accumulate without
+    bound in a long-lived session that regenerates data repeatedly
+    (ADVICE r21)."""
     import weakref
 
     hit = memo.get(key)
@@ -87,6 +140,8 @@ def session_df_memo(memo: dict, key: tuple, spark: SparkSession, build):
     df = build()
     for k in [k for k, v in memo.items() if v[0]() is None]:
         del memo[k]
+    while len(memo) >= _MEMO_CAP:
+        del memo[next(iter(memo))]  # dicts iterate in insertion order
     memo[key] = (weakref.ref(spark), df)
     return df
 

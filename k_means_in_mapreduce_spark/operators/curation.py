@@ -410,8 +410,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strings, so equality holds absent a 64-bit collision — the same
     # accepted residual as jaccard_pairs' hashed posting lists
     # (~n²/2⁶⁴ at catalog scale).
+    # Explicit NULL guard (ADVICE r21): xxhash64(NULL) is the seed (a
+    # non-null long), unlike md5(NULL) which is NULL and never joins — a
+    # NULL n-gram on BOTH sides would spuriously match. The size(toks)
+    # filter above means explode_outer never emits NULL today, but the
+    # guard keeps correctness from silently depending on that upstream
+    # filter. One side suffices (a join needs both); it goes on the small
+    # benchmark side so the corpus scan stays filter-free.
     bench = (
-        sh.filter(F.col("doc_id") < BENCH_MAX_DOC_ID)
+        sh.filter(
+            (F.col("doc_id") < BENCH_MAX_DOC_ID) & F.col("s").isNotNull()
+        )
         .select(F.xxhash64("s").alias("h"))
         .distinct()
     )

@@ -59,6 +59,16 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 _PROBED_SCHEMA: dict[tuple[str, str, str], T.StructType] = {}
 
 
+def _remember_schema(key: tuple[str, str, str], schema: T.StructType) -> None:
+    """Insert with a size cap (ADVICE r21: stale-fingerprint / dead-session
+    entries never evicted — unbounded in a long-lived regenerating
+    session). Oldest-inserted entries drop first; a dropped live entry
+    only costs one re-probe."""
+    while len(_PROBED_SCHEMA) >= 64:
+        del _PROBED_SCHEMA[next(iter(_PROBED_SCHEMA))]
+    _PROBED_SCHEMA[key] = schema
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The stream source needs an explicit schema; probe the actual file's
@@ -83,7 +93,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in _EVENTS_RAW_SCHEMA.fields
             ]
         )
-        _PROBED_SCHEMA[key] = schema
+        _remember_schema(key, schema)
     # the file source requires a directory: stream the sf dir, filtered
     # down to the events table file
     raw = (
@@ -428,7 +438,7 @@ def stream_kmeans_scoring(
     schema = _PROBED_SCHEMA.get(_key)
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-        _PROBED_SCHEMA[_key] = schema
+        _remember_schema(_key, schema)
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")

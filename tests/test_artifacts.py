@@ -395,3 +395,78 @@ def test_scratch_entry_pattern_adversarial_suffix_dirs():
             assert not pat_a.match(f"art_pairs--{tag_c}")
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# source_fingerprint: memoized behind an O(1) shallow stat signature (r22).
+# These tests pin the regeneration-rebuilds guarantee through the memo: a
+# rewritten file, an overwrite-recreated directory, and a rewritten
+# _SUCCESS marker must all change the fingerprint; an unchanged source must
+# be served from the memo WITHOUT a recursive walk.
+# ---------------------------------------------------------------------------
+def test_source_fingerprint_memo_skips_walk_when_unchanged(tmp_path, monkeypatch):
+    d = tmp_path / "table.parquet"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"aaa")
+    (d / "_SUCCESS").write_bytes(b"")
+    fp1 = A.source_fingerprint(str(d))
+
+    walks = []
+    real_walk = os.walk
+    monkeypatch.setattr(os, "walk", lambda *a, **k: walks.append(a) or real_walk(*a, **k))
+    assert A.source_fingerprint(str(d)) == fp1
+    assert walks == []  # memo hit: no recursive listing
+
+
+def test_source_fingerprint_changes_on_file_rewrite(tmp_path):
+    f = tmp_path / "embeddings.parquet"
+    f.write_bytes(b"v1")
+    fp1 = A.source_fingerprint(str(f))
+    f.write_bytes(b"v2-longer")  # size + mtime change
+    assert A.source_fingerprint(str(f)) != fp1
+
+
+def test_source_fingerprint_changes_on_dir_regeneration(tmp_path):
+    import shutil
+
+    d = tmp_path / "cells"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"old")
+    (d / "_SUCCESS").write_bytes(b"")
+    fp1 = A.source_fingerprint(str(d))
+    # Spark mode('overwrite') deletes and recreates the directory
+    shutil.rmtree(d)
+    d.mkdir()
+    (d / "part-0").write_bytes(b"new!")
+    (d / "_SUCCESS").write_bytes(b"")
+    assert A.source_fingerprint(str(d)) != fp1
+
+
+def test_source_fingerprint_changes_on_success_rewrite(tmp_path):
+    """An in-place recommit that only rewrites _SUCCESS (dir entry count
+    unchanged) must still invalidate the shallow signature."""
+    d = tmp_path / "data"
+    d.mkdir()
+    p = d / "part-0"
+    p.write_bytes(b"x" * 8)
+    (d / "_SUCCESS").write_bytes(b"")
+    fp1 = A.source_fingerprint(str(d))
+    # rewrite the data file IN PLACE with different mtime, then recommit
+    # _SUCCESS (what a writer that reuses the directory would do)
+    os.utime(p, ns=(1, 1))
+    (d / "_SUCCESS").write_bytes(b"")
+    os.utime(d / "_SUCCESS", ns=(2, 2))
+    assert A.source_fingerprint(str(d)) != fp1
+
+
+def test_session_df_memo_capped(tmp_path):
+    class _S:  # weakref-able stand-in for a SparkSession
+        pass
+
+    s = _S()
+    memo: dict = {}
+    for i in range(3 * A._MEMO_CAP):
+        A.session_df_memo(memo, ("k", i), s, lambda i=i: f"df{i}")
+    assert len(memo) <= A._MEMO_CAP
+    # newest entries survive
+    assert ("k", 3 * A._MEMO_CAP - 1) in memo
