@@ -368,7 +368,10 @@ def connected_components(
             neighbor.union(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # lazy: the checksum below materializes the checkpoint inside
+            # the same loop step — one job per round instead of two (see
+            # the identical note in connected_components_star)
+            .localCheckpoint(eager=False)
         )
         ck = _label_checksum(new_labels)
         changed = ck != prev_ck
@@ -415,26 +418,50 @@ def connected_components_star(
     :func:`connected_components`, and raises rather than returning split
     components if max_iter is exhausted."""
 
+    from pyspark.sql import Window as W
+
+    # Both stars compute "the minimum of u's neighborhood" and attach it
+    # back to every (u, v) row. r21 shape: groupBy(u).min + self-JOIN on u
+    # — TWO exchanges of the edge set per star (agg input + join probe)
+    # plus a broadcast/SMJ build. r22 shape: ONE window over partitionBy(u)
+    # (guide §2.4: an aggregation and a join keyed the same way can share
+    # one exchange — the window IS that fusion), and the two-branch unions
+    # over the same subtree became explode()s, so no subtree is computed
+    # twice. Each star's terminal distinct also collapsed to one: only
+    # small_star keeps it (load-bearing — the fixed-point checksum
+    # compares its output), large_star feeds small_star's window directly,
+    # where duplicate edges only widen one sort input, not an extra
+    # exchange. Result sets are identical (min per key is min per key;
+    # explode(array(a, b)) == union of the two projections).
+
     def large_star(e: DataFrame) -> DataFrame:
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        m = m.select("u", F.least("mn", F.col("u")).alias("m"))
+        # symmetrize with ONE pass: (u,v) -> {(u,v), (v,u)}
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.u", "_e.v")
+        m = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
         return (
-            sym.join(m, "u")
+            sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(e: DataFrame) -> DataFrame:
         d = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v"))
-        m = d.groupBy("u").agg(F.min("v").alias("m"))
-        pointed = d.join(m, "u")
-        out = pointed.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
-            pointed.select("u", F.col("m").alias("v"))
+        p = d.withColumn("m", F.min("v").over(W.partitionBy("u")))
+        # point BOTH v and u at the neighborhood minimum in one pass
+        out = p.select(
+            F.explode(F.array("v", "u")).alias("u"), F.col("m").alias("v")
         )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
@@ -461,7 +488,16 @@ def connected_components_star(
     prev = checksum(e)
     converged = False
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # lazy localCheckpoint: the checksum right below is the round's
+        # materializing action, so checkpointing eagerly would pay a
+        # SECOND full computation job per round for the same rows. The
+        # exact_quantiles lazy-checkpoint hazard (deferred doCheckpoint
+        # spamming "non-existent accumulator" ERRORs) does not bite here:
+        # the checksum consumes the checkpoint within the same loop step,
+        # so finalization happens inside a live query, not after one has
+        # unregistered its metrics (verified: zero ERROR lines over the
+        # full pytest + driver-sim + bench sweeps).
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         cur = checksum(e)
         if cur == prev:
             converged = True
@@ -474,11 +510,12 @@ def connected_components_star(
             "this indicates a bug or an astronomically deep graph"
         )
     # fixed point is a star forest: every edge points a node at its
-    # component minimum; roots label themselves
+    # component minimum; roots label themselves (one explode pass over
+    # the checkpointed edges instead of a two-branch union)
     return (
-        e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
-        .union(
-            e.select(F.col("v").alias("doc_id"), F.col("v").alias("component"))
+        e.select(
+            F.explode(F.array("u", "v")).alias("doc_id"),
+            F.col("v").alias("component"),
         )
         .distinct()
     )
