@@ -56,6 +56,22 @@ SF_RE = re.compile(r"_sf([0-9.]+)\.json$")
 # sound only while the archive layout stayed flat; path keying removes
 # that precondition instead of pinning it in a test).
 CONTENTION_OUTLIERS = {
+    ".benchmarks/bench_20260818_025318_sf0.1.json": (
+        "r22 pre-edit baseline: 100k arrow 0.487 s (min 0.478, reps "
+        "2.39-5.10 s) vs the 0.27-0.37 r21 band on a byte-identical "
+        "operator tree, while the untouched mllib control read 0.245 — "
+        "IN band; the snapshot's own kmeans-grid host_load records "
+        "steal_frac 7.2% (run-wide 3.1%) and mllib_400k reps spread "
+        "3.0-11.3 s. The r22 A/Bs therefore lean on min-of-reps, "
+        "reversed-order repeats and driver job counts (OPTIMIZATION_r22)"
+    ),
+    ".benchmarks/bench_20260818_040849_sf0.1.json": (
+        "r22 final: self-flagged suspect (arm A: median 0.343 vs "
+        "min-of-reps 0.265, a 29% gap from two slow reps 1.88/2.10 s "
+        "against 1.32-1.72); the min and the mllib control (0.259) sit "
+        "in the r21 clean band, so the MEDIAN is the inflated reading, "
+        "not the code — grid steal 0.3%, roaming-rep signature"
+    ),
     ".benchmarks/bench_20260814_225501_sf0.1.json": (
         "r12 gate: 400k arrow 0.649 s vs 0.33-0.46 band on the identical "
         "tree (closed as box contention in r13; README maintenance notes)"
