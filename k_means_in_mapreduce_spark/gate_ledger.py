@@ -380,11 +380,20 @@ def derive_order(
 # (ordering logic is not query behavior), so this list can churn freely.
 # ---------------------------------------------------------------------------
 PRIORITY_OVERRIDE: list[str] = [
-    # EMPTY on purpose (VERDICT r5 item 1): every entry listed here jumps
+    # Default EMPTY (VERDICT r5 item 1): every entry listed here jumps
     # the derived ordering, so a populated list starves the
-    # oldest-green-first rotation that is currently draining the 54-query
-    # changed-since-green backlog from the r5 refactor.  The r4-incident
-    # entries and the r5 re-gate entries formerly here were all confirmed
-    # green by CORRECTNESS_r05.json.  Add a name ONLY for a known
+    # oldest-green-first rotation.  Add a name ONLY for a known
     # wrong-answer risk that must gate before the backlog tier.
+    #
+    # r22: the ONLY queries whose computation was restructured this round
+    # (connected-components rounds: groupBy+join -> window, lazy
+    # checkpoints — result proven set-identical, oracle MATCH in
+    # driver-sim at sf0.01) would otherwise fall just past the 50-query
+    # window (they were r21-checked, so the oldest-green rotation ranks
+    # them last).  A this-round result-shape restructure is exactly the
+    # "must gate before the backlog" case; the two names they displace
+    # (kmeans_fit_mllib/_bisecting) are r21-hash-green and UNTOUCHED this
+    # round.
+    "dedup_groups_star",
+    "dedup_connected_components",
 ]
