@@ -79,6 +79,10 @@ def test_window_subset_agrees_with_stale_report_on_synthetic_ledger(
     ledger_file = tmp_path / "GATE_LEDGER.json"
     ledger_file.write_text(json.dumps({"queries": entries, "rounds_seen": []}))
     monkeypatch.setattr(gl, "LEDGER_PATH", str(ledger_file))
+    # the hand escape hatch jumps the DERIVED order by design; this test
+    # pins the derived-order mechanics, so neutralize it (the live
+    # override's names are validated by tests/test_gate_ledger.py)
+    monkeypatch.setattr(gl, "PRIORITY_OVERRIDE", [])
 
     window = driver_sim.select_names(qs, "window", [])
     monkeypatch.setattr(sys, "argv", ["stale_report.py", "--json"])
